@@ -1,0 +1,70 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with the noop sink (full computation, zero
+driver-side collection) so the numbers measure the plan, not pandas
+conversion.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kaggle_ecommerce_etl_spark.queries import REGISTRY
+from kaggle_ecommerce_etl_spark.session import get_spark
+
+#: queries timed for the headline number — every execution shape the
+#: engine supports: scan+agg, multi-join, window, expression-heavy
+#: normalize, sessionization, text, similarity.
+HEADLINE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_per_group",
+    "conflict_split_flagged",
+    "tolerant_numeric",
+    "mostly_null_filter",
+    "parse_gate",
+    "events_sessionize",
+    "dedup_exact_docs",
+    "lang_id",
+    "quality_score",
+    "cosine_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.range(10).count()  # JVM warmup, not timed
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn, _oracle = REGISTRY[name]
+        t0 = time.time()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

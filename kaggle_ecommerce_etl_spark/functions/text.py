@@ -1,0 +1,106 @@
+"""Text-analysis expressions for the training-data-pipeline extension
+(BASELINE.json north_star: text analysis at 100 TB).
+
+All pure Column expressions — JVM-side, whole-stage codegen, no Python
+in the hot path. Each has an exact ANSI-SQL twin in __spark_entry__'s
+oracle set.
+
+- token counting: whitespace tokenization (the BPE-ish regex variant is
+  ``tokens_expr(col, pattern=...)``)
+- language ID: stopword-hit argmax over small per-language lists — the
+  classic cheap n-gram/stopword heuristic; deterministic tiebreak by
+  list order
+- quality score: length/punctuation/stopword ratios composed into one
+  bounded score (the CCNet/Gopher-style cheap filters)
+- fingerprint: md5 of case/whitespace-normalized text (exact-dedup key)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword lists (ASCII only, deterministic)
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "fr": ("le", "la", "et", "les", "des", "un", "est"),
+    "de": ("der", "die", "und", "das", "ist", "ein", "nicht"),
+    "es": ("el", "la", "y", "los", "de", "que", "es"),
+}
+
+#: a BPE-ish word/number/punct splitter (public GPT-2-style idea, simplified)
+BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+PUNCT_CLASS = r"[^.!?,;:]"
+
+
+def tokens_expr(col: Column) -> Column:
+    """Lowercased alphabetic tokens (for stopword matching)."""
+    return F.split(F.lower(F.trim(col)), r"[^a-z]+")
+
+
+def token_count_expr(col: Column) -> Column:
+    """Whitespace token count; empty/blank → 0. Long type."""
+    trimmed = F.trim(col)
+    return (
+        F.when(trimmed == "", F.lit(0))
+        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .cast("long")
+    )
+
+
+def bpe_ish_token_count_expr(col: Column) -> Column:
+    """Count of BPE-ish tokens (words / numbers / single punct)."""
+    return F.size(F.regexp_extract_all(col, F.lit(BPE_ISH_PATTERN))).cast("long")
+
+
+def _stopword_hits(col: Column, words: tuple[str, ...]) -> Column:
+    toks = tokens_expr(col)
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(wordset, t))).cast("long")
+
+
+def lang_id_expr(col: Column) -> Column:
+    """argmax over per-language stopword hit counts; ties and all-zero →
+    first language in STOPWORDS order ('en'). Pure expression: the
+    lists are constant-folded; no join, no UDF."""
+    hits = {lang: _stopword_hits(col, ws) for lang, ws in STOPWORDS.items()}
+    langs = list(STOPWORDS)
+    best = F.lit(langs[0])
+    best_hits = hits[langs[0]]
+    for lang in langs[1:]:
+        better = hits[lang] > best_hits
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(better, hits[lang]).otherwise(best_hits)
+    return best
+
+
+def punct_ratio_expr(col: Column) -> Column:
+    """(punctuation chars) / max(length, 1)."""
+    n_punct = F.length(F.regexp_replace(col, PUNCT_CLASS, ""))
+    return n_punct.cast("double") / F.greatest(F.length(col), F.lit(1)).cast("double")
+
+
+def stopword_ratio_expr(col: Column) -> Column:
+    """English-stopword tokens / max(token count, 1)."""
+    hits = _stopword_hits(col, STOPWORDS["en"])
+    return hits.cast("double") / F.greatest(token_count_expr(col), F.lit(1)).cast("double")
+
+
+def quality_score_expr(col: Column) -> Column:
+    """Bounded [0,1] quality heuristic:
+    0.4·min(tokens/100,1) + 0.3·(1-punct_ratio) + 0.3·min(stop_ratio·5,1)
+    — rewards length, low punctuation noise, natural-language stopword
+    density. Rounded to 4 decimals for cross-engine determinism."""
+    length_term = F.least(token_count_expr(col).cast("double") / F.lit(100.0), F.lit(1.0))
+    punct_term = F.lit(1.0) - punct_ratio_expr(col)
+    stop_term = F.least(stopword_ratio_expr(col) * F.lit(5.0), F.lit(1.0))
+    return F.round(
+        F.lit(0.4) * length_term + F.lit(0.3) * punct_term + F.lit(0.3) * stop_term, 4
+    )
+
+
+def fingerprint_expr(col: Column) -> Column:
+    """md5 of lower/trim/whitespace-collapsed text — the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    return F.md5(norm.cast("binary"))

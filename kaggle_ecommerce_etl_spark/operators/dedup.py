@@ -1,0 +1,56 @@
+"""Deduplication operators (SURVEY.md §2c ops 14-16).
+
+Reference behavior re-expressed:
+- full-row dedup: ``drop_duplicates()`` (ecommerce_s3_to_pg.py:252, 311, 344)
+- keyed conflict split: rows whose key occurs >1× are diverted to a
+  version/audit table, unique-key rows pass (pg.py:276-289)
+- cross-batch idempotency: ``ON CONFLICT DO NOTHING`` → anti-join
+  against existing keys before append (pg.py:544-547)
+
+Scale notes:
+- ``dropDuplicates`` is a hash aggregate on all columns — one shuffle,
+  map-side partial combine; AQE coalesces post-shuffle partitions.
+- conflict_split uses a window count over ONE hash-partitioning of the
+  key: both outputs reuse the same exchange (vs. groupBy+join which
+  shuffles twice). Skewed keys are handled by AQE skew-split since the
+  window needs no ordering.
+- upsert_anti_join keeps only key columns from the existing side
+  (column-pruned scan) — at 100 TB the existing-keys projection is the
+  small side and broadcastable per-partition.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+from kaggle_ecommerce_etl_spark.util import qcol
+
+
+def dedup_full_rows(df: DataFrame) -> DataFrame:
+    """Exact duplicate-row removal (op 14)."""
+    return df.dropDuplicates()
+
+
+def conflict_split(df: DataFrame, keys: Sequence[str]) -> tuple[DataFrame, DataFrame]:
+    """Split into (clean, flagged): clean = rows whose key combination
+    is unique; flagged = ALL rows of any key occurring more than once
+    (op 15 — the reference's amazon_sale / amazon_sale_version split).
+    """
+    w = Window.partitionBy(*[qcol(k) for k in keys])
+    counted = df.withColumn("__key_cnt", F.count(F.lit(1)).over(w))
+    clean = counted.filter(F.col("__key_cnt") == 1).drop("__key_cnt")
+    flagged = counted.filter(F.col("__key_cnt") > 1).drop("__key_cnt")
+    return clean, flagged
+
+
+def upsert_anti_join(
+    incoming: DataFrame, existing: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """Rows of ``incoming`` whose key is NOT already in ``existing`` —
+    the append set of an idempotent DO-NOTHING upsert (op 16).
+    Only the key columns of ``existing`` are read (column pruning)."""
+    existing_keys = existing.select(*keys).dropDuplicates()
+    return incoming.join(existing_keys, on=list(keys), how="left_anti")

@@ -1,0 +1,786 @@
+"""Query registry: every implemented operator exposed as a
+``(spark, sf_dir) -> DataFrame`` callable plus a DuckDB oracle SQL twin.
+
+This is the driver-facing correctness surface (__spark_entry__.py).
+Each query maps one SURVEY.md §2 operator (or a north-star extension)
+onto the driver's TPC-H-ish testdata. Noise (NA tokens, currency
+strings, messy dates) is CONSTRUCTED deterministically from integer key
+columns with identical CASE logic on both the Spark and SQL sides, so
+value hashes must match bit-for-bit.
+
+Determinism rules used throughout:
+- every computed double is round()ed (2-6 digits depending on magnitude)
+- aggregates over doubles are rounded wide enough to absorb summation-
+  order ULP differences
+- every rank/top-k has a total-order tiebreak
+- aliases match the oracle column names exactly
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kaggle_ecommerce_etl_spark.functions.similarity import cosine_topk
+from kaggle_ecommerce_etl_spark.functions.text import (
+    STOPWORDS,
+    fingerprint_expr,
+    lang_id_expr,
+    quality_score_expr,
+    token_count_expr,
+)
+from kaggle_ecommerce_etl_spark.normalize.casts import (
+    date_to_iso,
+    normalize_month_expr_datetime,
+    normalize_month_expr_prefix,
+    tolerant_numeric,
+)
+from kaggle_ecommerce_etl_spark.normalize.columns import normalize_column_names
+from kaggle_ecommerce_etl_spark.normalize.profile import (
+    drop_all_null_columns,
+    null_counts,
+)
+from kaggle_ecommerce_etl_spark.normalize.tokens import (
+    lower_trim_columns,
+    na_token_to_null,
+    standardize_text_columns,
+)
+from kaggle_ecommerce_etl_spark.normalize.transform import transform
+from kaggle_ecommerce_etl_spark.operators.dedup import (
+    conflict_split,
+    dedup_full_rows,
+)
+from kaggle_ecommerce_etl_spark.operators.filters import (
+    align_columns,
+    drop_missing_critical,
+    filter_mostly_null_rows,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # deterministic temporal semantics regardless of the caller's session
+    # (DuckDB oracles are UTC-naive)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+        # reader rejects; read ns as long, floor-div to micros (identical
+        # to DuckDB's ns→µs truncation).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+        return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# flagship / relational core
+# --------------------------------------------------------------------------
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan+filter+groupBy+8 aggs. One shuffle with
+    map-side partial agg; filter pushes to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+ORACLE_PRICING = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2)                                        AS sum_qty,
+       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+       round(avg(l_quantity), 4)                                        AS avg_qty,
+       round(avg(l_extendedprice), 4)                                   AS avg_price,
+       round(avg(l_discount), 6)                                        AS avg_disc,
+       count(*)                                                         AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join + agg. nation/region are broadcast
+    (tiny dims); customer⋈orders⋈lineitem shuffle on their keys; AQE
+    coalesces post-shuffle."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(reg.r_name == "ASIA")
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+ORACLE_REVENUE_BY_NATION = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders    ON l_orderkey = o_orderkey
+JOIN customer  ON o_custkey = c_custkey
+JOIN supplier  ON l_suppkey = s_suppkey
+JOIN nation    ON s_nationkey = n_nationkey
+JOIN region    ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 parts by retail price per brand (window row_number)."""
+    part = _t(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand").orderBy(
+        F.col("p_retailprice").desc(), F.col("p_partkey").asc()
+    )
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("p_brand", "p_partkey", "p_retailprice", "rank")
+    )
+
+
+ORACLE_TOPK = """
+SELECT p_brand, p_partkey, p_retailprice, CAST(rank AS INT) AS rank
+FROM (
+  SELECT p_brand, p_partkey, p_retailprice,
+         ROW_NUMBER() OVER (PARTITION BY p_brand
+                            ORDER BY p_retailprice DESC, p_partkey) AS rank
+  FROM part
+) WHERE rank <= 3
+"""
+
+
+# --------------------------------------------------------------------------
+# dedup / conflict split (SURVEY §2c ops 14-16)
+# --------------------------------------------------------------------------
+
+def q_conflict_split_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    clean, _ = conflict_split(_t(spark, sf_dir, "lineitem"), ["l_orderkey"])
+    return clean
+
+
+def q_conflict_split_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _, flagged = conflict_split(_t(spark, sf_dir, "lineitem"), ["l_orderkey"])
+    return flagged
+
+
+def _oracle_conflict(op: str) -> str:
+    return f"""
+SELECT l.* FROM lineitem l
+JOIN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+      HAVING count(*) {op} 1) k USING (l_orderkey)
+"""
+
+
+def q_dedup_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", F.year("l_shipdate").alias("ship_year")
+    )
+    return dedup_full_rows(li)
+
+
+ORACLE_DEDUP_FULL = """
+SELECT DISTINCT l_returnflag, l_linestatus,
+       CAST(year(l_shipdate) AS INT) AS ship_year
+FROM lineitem
+"""
+
+
+def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup_full_rows(
+        _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
+    )
+
+
+ORACLE_DISTINCT_PROJ = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
+
+
+# --------------------------------------------------------------------------
+# column normalization / projection (ops 7-9, 12)
+# --------------------------------------------------------------------------
+
+def q_colname_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("L  OrderKey"),
+        F.col("l_linenumber").alias(" Line-Number "),
+        F.col("l_quantity").alias("QUANTITY"),
+    )
+    return normalize_column_names(li)
+
+
+ORACLE_COLNAME = """
+SELECT l_orderkey, l_linenumber AS line_number, l_quantity AS quantity
+FROM lineitem
+"""
+
+
+def q_align_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return align_columns(
+        _t(spark, sf_dir, "supplier"),
+        [
+            ("s_suppkey", "bigint"),
+            ("s_name", "string"),
+            ("region", "string"),  # absent → NULL fill
+            ("s_acctbal", "double"),
+        ],
+    )
+
+
+ORACLE_ALIGN = """
+SELECT s_suppkey, s_name, CAST(NULL AS VARCHAR) AS region, s_acctbal
+FROM supplier
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar normalization (ops 23-30) over constructed noise
+# --------------------------------------------------------------------------
+
+_NA_CASE_SQL = """
+CASE CAST(o_orderkey % 13 AS INT)
+  WHEN 0 THEN ' '   WHEN 1 THEN ''    WHEN 2 THEN 'NA'  WHEN 3 THEN 'na'
+  WHEN 4 THEN 'n/a' WHEN 5 THEN 'N/A' WHEN 6 THEN 'n/A' WHEN 7 THEN 'N/a'
+  WHEN 8 THEN 'null' WHEN 9 THEN 'Null' WHEN 10 THEN 'NULL'
+  ELSE o_orderpriority END
+"""
+
+
+def _na_case_col() -> Column:
+    m = F.col("o_orderkey") % 13
+    tokens = [" ", "", "NA", "na", "n/a", "N/A", "n/A", "N/a", "null", "Null", "NULL"]
+    expr = F.when(m == 0, F.lit(tokens[0]))
+    for i, t in enumerate(tokens[1:], start=1):
+        expr = expr.when(m == i, F.lit(t))
+    return expr.otherwise(F.col("o_orderpriority"))
+
+
+def q_na_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _na_case_col().alias("raw")
+    )
+    return o.select("o_orderkey", na_token_to_null(F.col("raw")).alias("val"))
+
+
+ORACLE_NA = f"""
+SELECT o_orderkey,
+       CASE WHEN trim(raw) IN ('NA','na','n/a','N/A','n/A','N/a','null','Null','NULL')
+              OR trim(raw) = '' THEN NULL ELSE raw END AS val
+FROM (SELECT o_orderkey, {_NA_CASE_SQL} AS raw FROM orders)
+"""
+
+
+_DEC_STR_SQL = (
+    "CAST(l_partkey % 10000 AS VARCHAR) || '.' || CAST(10 + (l_suppkey % 89) AS VARCHAR)"
+)
+
+
+def _dec_str_col() -> Column:
+    return F.concat(
+        (F.col("l_partkey") % 10000).cast("string"),
+        F.lit("."),
+        (F.lit(10) + (F.col("l_suppkey") % 89)).cast("string"),
+    )
+
+
+def q_tolerant_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    m = F.col("l_linenumber") % 4
+    raw = (
+        F.when(m == 0, F.concat(F.lit("$"), _dec_str_col()))
+        .when(m == 1, F.concat(F.lit(" "), _dec_str_col(), F.lit(" ")))
+        .when(m == 2, F.lit("n/a"))
+        .otherwise(_dec_str_col())
+    )
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        tolerant_numeric(raw).alias("amount"),
+    )
+
+
+ORACLE_TOLERANT_NUMERIC = f"""
+SELECT l_orderkey, l_linenumber,
+       round(TRY_CAST(regexp_replace(raw, '[$,()\\s]', '', 'g') AS DOUBLE), 2) AS amount
+FROM (
+  SELECT l_orderkey, l_linenumber,
+         CASE CAST(l_linenumber % 4 AS INT)
+           WHEN 0 THEN '$' || {_DEC_STR_SQL}
+           WHEN 1 THEN ' ' || {_DEC_STR_SQL} || ' '
+           WHEN 2 THEN 'n/a'
+           ELSE {_DEC_STR_SQL} END AS raw
+  FROM lineitem
+)
+"""
+
+
+def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    m = F.col("o_orderkey") % 3
+    raw = (
+        F.when(m == 0, F.date_format(d, "MM/dd/yyyy"))
+        .when(m == 1, F.date_format(d, "yyyy-MM-dd"))
+        .otherwise(F.lit("not a date"))
+    )
+    return o.select("o_orderkey", date_to_iso(raw).alias("date_iso"))
+
+
+ORACLE_DATE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 3 = 2 THEN NULL
+            ELSE strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') END AS date_iso
+FROM orders
+"""
+
+
+def q_month_datetime(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month branch 1 (column contains datetime-parseable values)."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    m = F.col("o_orderkey") % 4
+    raw = (
+        F.when(m == 0, F.concat(F.date_format(d, "yyyy-MM"), F.lit("-01")))
+        .when(m == 1, F.lit("jan"))
+        .when(m == 2, F.lit("garbage"))
+        .otherwise(F.date_format(d, "MMMM"))
+    )
+    return o.select(
+        "o_orderkey", normalize_month_expr_datetime(raw).alias("month_name")
+    )
+
+
+ORACLE_MONTH_DT = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 4 = 0
+            THEN monthname(CAST(o_orderdate AS DATE)) ELSE NULL END AS month_name
+FROM orders
+"""
+
+
+def q_month_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month branch 2 (no datetime-parseable values → prefix lookup)."""
+    o = _t(spark, sf_dir, "orders")
+    m = F.col("o_orderkey") % 5
+    raw = (
+        F.when(m == 0, F.lit("jan"))
+        .when(m == 1, F.lit("FEB "))
+        .when(m == 2, F.lit("  mar"))
+        .when(m == 3, F.lit("zzz"))
+        .otherwise(F.lit("DECEMBER"))
+    )
+    return o.select(
+        "o_orderkey", normalize_month_expr_prefix(raw).alias("month_name")
+    )
+
+
+ORACLE_MONTH_PREFIX = """
+SELECT o_orderkey,
+       CASE CAST(o_orderkey % 5 AS INT)
+         WHEN 0 THEN 'January' WHEN 1 THEN 'February' WHEN 2 THEN 'March'
+         WHEN 3 THEN NULL ELSE 'December' END AS month_name
+FROM orders
+"""
+
+
+def q_text_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.col("c_name").alias("customer_name"),
+        "c_mktsegment",
+    )
+    c = standardize_text_columns(c)  # hits customer_name (contains 'customer')
+    return lower_trim_columns(c, ["c_mktsegment"])
+
+
+ORACLE_TEXT_STD = """
+SELECT c_custkey, upper(trim(c_name)) AS customer_name,
+       lower(trim(c_mktsegment)) AS c_mktsegment
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------------
+# row filters / profiling (ops 10-11, 18, 21, 31)
+# --------------------------------------------------------------------------
+
+_NOISE_SQL = """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_orderkey % 2 = 0 THEN NULL ELSE 'x' END AS a,
+       CASE WHEN l_orderkey % 3 = 0 THEN NULL ELSE 'y' END AS b,
+       CASE WHEN l_linenumber % 2 = 0 THEN NULL ELSE 'z' END AS c,
+       'w' AS d
+FROM lineitem
+"""
+
+
+def _noise_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.when(F.col("l_orderkey") % 2 == 0, F.lit(None)).otherwise(F.lit("x")).alias("a"),
+        F.when(F.col("l_orderkey") % 3 == 0, F.lit(None)).otherwise(F.lit("y")).alias("b"),
+        F.when(F.col("l_linenumber") % 2 == 0, F.lit(None)).otherwise(F.lit("z")).alias("c"),
+        F.lit("w").alias("d"),
+    )
+
+
+def q_mostly_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return filter_mostly_null_rows(_noise_df(spark, sf_dir), 0.5)
+
+
+ORACLE_MOSTLY_NULL = f"""
+SELECT * FROM ({_NOISE_SQL})
+WHERE (CASE WHEN a IS NULL THEN 1 ELSE 0 END
+     + CASE WHEN b IS NULL THEN 1 ELSE 0 END
+     + CASE WHEN c IS NULL THEN 1 ELSE 0 END) <= 2
+"""
+
+
+def q_critical_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return drop_missing_critical(_noise_df(spark, sf_dir), ["a", "c", "absent_col"])
+
+
+ORACLE_CRITICAL = f"""
+SELECT * FROM ({_NOISE_SQL}) WHERE a IS NOT NULL AND c IS NOT NULL
+"""
+
+
+def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return null_counts(_noise_df(spark, sf_dir))
+
+
+ORACLE_NULL_COUNTS = f"""
+SELECT CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_orderkey,
+       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS l_linenumber,
+       CAST(sum(CASE WHEN a IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS a,
+       CAST(sum(CASE WHEN b IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       CAST(sum(CASE WHEN c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       CAST(sum(CASE WHEN d IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS d
+FROM ({_NOISE_SQL})
+"""
+
+
+def q_parse_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-phase profile→plan: 95%-numeric column is cast, 50% column
+    stays string (reference's ≥90% gate)."""
+    o = _t(spark, sf_dir, "orders")
+    num_str = (F.col("o_orderkey") % 1000).cast("string")
+    raw = o.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 20 == 0, F.lit("xx")).otherwise(num_str).alias("mostly_num"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("yy")).otherwise(num_str).alias("half_num"),
+    )
+    return transform(raw)
+
+
+ORACLE_PARSE_GATE = """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 20 = 0 THEN NULL
+            ELSE round(TRY_CAST(CAST(o_orderkey % 1000 AS VARCHAR) AS DOUBLE), 2)
+       END AS mostly_num,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'yy'
+            ELSE CAST(o_orderkey % 1000 AS VARCHAR) END AS half_num
+FROM orders
+"""
+
+
+def q_drop_allnull_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.lit(None).cast("string").alias("dead"),
+        F.col("o_orderpriority").alias("alive"),
+    )
+    return drop_all_null_columns(o)
+
+
+ORACLE_DROP_ALLNULL = "SELECT o_orderkey, o_orderpriority AS alive FROM orders"
+
+
+# --------------------------------------------------------------------------
+# streaming-shape (batch-equivalent) over events
+# --------------------------------------------------------------------------
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("total"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total",
+        )
+    )
+
+
+ORACLE_TUMBLING = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+       count(*) AS n, round(sum(value), 2) AS total
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization via session_window (30 min gap)."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSIONIZE = """
+WITH marks AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
+def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+
+
+ORACLE_JSON = """
+SELECT event_id, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events
+"""
+
+
+# --------------------------------------------------------------------------
+# north-star: text analysis / dedup / similarity (documents, embeddings)
+# --------------------------------------------------------------------------
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+
+
+ORACLE_FINGERPRINT = """
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+"""
+
+
+def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: one survivor (min doc_id) per normalized-text
+    fingerprint. Hash-groupBy: one shuffle on the fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .select("doc_id", "n_copies", "fp")
+    )
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
+       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+FROM documents
+GROUP BY 3
+"""
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       CASE WHEN trim(text) = '' THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+FROM documents
+"""
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
+
+
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in STOPWORDS[lang]) + "]"
+
+
+ORACLE_LANG_ID = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[^a-z]+') AS t
+  FROM documents
+),
+hits AS (
+  SELECT doc_id,
+         len(list_filter(t, x -> list_contains({_sw_list('en')}, x))) AS en,
+         len(list_filter(t, x -> list_contains({_sw_list('fr')}, x))) AS fr,
+         len(list_filter(t, x -> list_contains({_sw_list('de')}, x))) AS de,
+         len(list_filter(t, x -> list_contains({_sw_list('es')}, x))) AS es
+  FROM toks
+),
+s1 AS (
+  SELECT doc_id, de, es,
+         CASE WHEN fr > en THEN 'fr' ELSE 'en' END AS lang1,
+         CASE WHEN fr > en THEN fr ELSE en END AS best1
+  FROM hits
+),
+s2 AS (
+  SELECT doc_id, es,
+         CASE WHEN de > best1 THEN 'de' ELSE lang1 END AS lang2,
+         CASE WHEN de > best1 THEN de ELSE best1 END AS best2
+  FROM s1
+)
+SELECT doc_id,
+       CASE WHEN es > best2 THEN 'es' ELSE lang2 END AS lang_pred
+FROM s2
+"""
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
+
+
+ORACLE_QUALITY = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
+         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
+           / greatest(length(text), 1) AS punct_ratio,
+         len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'),
+                         x -> list_contains({_sw_list('en')}, x))) AS stop_hits
+  FROM documents
+)
+SELECT doc_id,
+       round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
+           + 0.3 * (1.0 - punct_ratio)
+           + 0.3 * least(CAST(stop_hits AS DOUBLE) / greatest(n_tok, 1) * 5.0, 1.0),
+         4) AS quality
+FROM base
+"""
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+
+
+ORACLE_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 5),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 5
+"""
+
+
+# --------------------------------------------------------------------------
+# registry
+# --------------------------------------------------------------------------
+
+#: name → (query fn, oracle SQL or None for rows-only checks)
+REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
+    "pricing_summary": (q_pricing_summary, ORACLE_PRICING),
+    "revenue_by_nation": (q_revenue_by_nation, ORACLE_REVENUE_BY_NATION),
+    "topk_per_group": (q_topk_per_group, ORACLE_TOPK),
+    "conflict_split_clean": (q_conflict_split_clean, _oracle_conflict("=")),
+    "conflict_split_flagged": (q_conflict_split_flagged, _oracle_conflict(">")),
+    "dedup_full_rows": (q_dedup_full_rows, ORACLE_DEDUP_FULL),
+    "distinct_projection": (q_distinct_projection, ORACLE_DISTINCT_PROJ),
+    "colname_normalize": (q_colname_normalize, ORACLE_COLNAME),
+    "align_columns": (q_align_columns, ORACLE_ALIGN),
+    "na_canonicalize": (q_na_canonicalize, ORACLE_NA),
+    "tolerant_numeric": (q_tolerant_numeric, ORACLE_TOLERANT_NUMERIC),
+    "date_normalize": (q_date_normalize, ORACLE_DATE),
+    "month_datetime": (q_month_datetime, ORACLE_MONTH_DT),
+    "month_prefix": (q_month_prefix, ORACLE_MONTH_PREFIX),
+    "text_standardize": (q_text_standardize, ORACLE_TEXT_STD),
+    "mostly_null_filter": (q_mostly_null_filter, ORACLE_MOSTLY_NULL),
+    "critical_dropna": (q_critical_dropna, ORACLE_CRITICAL),
+    "null_counts": (q_null_counts, ORACLE_NULL_COUNTS),
+    "parse_gate": (q_parse_gate, ORACLE_PARSE_GATE),
+    "drop_allnull_cols": (q_drop_allnull_cols, ORACLE_DROP_ALLNULL),
+    "events_tumbling": (q_events_tumbling, ORACLE_TUMBLING),
+    "events_sessionize": (q_events_sessionize, ORACLE_SESSIONIZE),
+    "events_json_extract": (q_events_json_extract, ORACLE_JSON),
+    "doc_fingerprint": (q_doc_fingerprint, ORACLE_FINGERPRINT),
+    "dedup_exact_docs": (q_dedup_exact_docs, ORACLE_DEDUP_EXACT),
+    "token_count": (q_token_count, ORACLE_TOKEN_COUNT),
+    "lang_id": (q_lang_id, ORACLE_LANG_ID),
+    "quality_score": (q_quality_score, ORACLE_QUALITY),
+    "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
+}
