@@ -1,0 +1,186 @@
+"""Near-duplicate detection for training-data pipelines (north_star:
+dedup at 100 TB).
+
+Four families, all deterministic and expressed as native Spark
+expressions (no Python UDFs):
+
+- **MinHash**: word-3-gram shingles → k md5-derived hash functions →
+  per-seed minimum. Signatures are computed in ONE narrow projection
+  (array expressions, no explode/shuffle). LSH banding groups signature
+  slices so candidate pairs come from an equi-join on band keys — the
+  100 TB path: shuffle is proportional to Σ bucket sizes, never n².
+- **SimHash**: per-bit majority vote over token hashes, packed to an
+  int — a locality-sensitive fingerprint for hamming-distance dedup.
+- **n-gram Jaccard**: exact pairwise similarity via an inverted index
+  (explode token → equi-join on token → count-based Jaccard) inside a
+  blocking key; never materializes the full cross product.
+- **embedding near-dup**: nearest neighbor by cosine (delegates to
+  functions.similarity).
+
+Hash function: first 8 hex chars of md5(seed ':' value) parsed as a
+64-bit int — chosen because DuckDB can replicate it exactly
+(('0x' || substr(md5(..),1,8))::BIGINT), making every stage
+oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from kaggle_ecommerce_etl_spark.util import qcol
+
+N_MINHASH = 8
+BAND_SIZE = 2
+
+
+def tokens_ws(col: Column) -> Column:
+    """Whitespace tokens of lower/trim text."""
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def shingles_expr(col: Column, n: int = 3) -> Column:
+    """Word n-gram shingles (distinct). Short texts (< n tokens) yield
+    one shingle covering all tokens."""
+    t = tokens_ws(col)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(t, i, n)),
+    )
+    return F.array_distinct(sh)
+
+
+def _h64(seed: int, value: Column) -> Column:
+    """64-bit int from md5 — DuckDB-replicable (see module doc)."""
+    hexpart = F.substring(F.md5(F.concat(F.lit(f"{seed}:"), value).cast("binary")), 1, 8)
+    return F.conv(hexpart, 16, 10).cast("long")
+
+
+def _seeded_hash_fn(seed: int):
+    # single-arg lambda: a 2-arg lambda would make F.transform pass the
+    # ARRAY INDEX as the second argument, silently corrupting the seed
+    return lambda s: _h64(seed, s)
+
+
+def minhash_signature_exprs(col: Column, k: int = N_MINHASH) -> list[Column]:
+    """k minhash values as separate columns mh0..mh{k-1}; one pass,
+    no shuffle."""
+    sh = shingles_expr(col)
+    return [
+        F.array_min(F.transform(sh, _seeded_hash_fn(i))).alias(f"mh{i}")
+        for i in range(k)
+    ]
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = N_MINHASH
+) -> DataFrame:
+    return df.select(qcol(id_col), *minhash_signature_exprs(qcol(text_col), k))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    k: int = N_MINHASH,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Candidate pairs (id1 < id2) sharing at least one LSH band.
+
+    Bands are md5 keys over signature slices; pairs come from per-band
+    self-equi-joins unioned + de-duplicated. At scale each band join is
+    a hash-partitioned shuffle on the band key — no cross product.
+    """
+    n_bands = k // band_size
+    bands = signatures.select(
+        qcol(id_col).alias("__id"),
+        *[
+            F.md5(
+                F.concat_ws(",", *[qcol(f"mh{b * band_size + j}") for j in range(band_size)]).cast("binary")
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ],
+    )
+    pair_frames = []
+    for b in range(n_bands):
+        left = bands.select(F.col("__id").alias("id1"), F.col(f"band{b}").alias("__b"))
+        right = bands.select(F.col("__id").alias("id2"), F.col(f"band{b}").alias("__b"))
+        pair_frames.append(
+            left.join(right, "__b").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
+        )
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates()
+
+
+def simhash_expr(col: Column, bits: int = 16) -> Column:
+    """SimHash fingerprint: for each bit position, majority vote of the
+    distinct tokens' hash bits (+1/-1); positive sum → 1. Packed long."""
+    toks = F.array_distinct(tokens_ws(col))
+    hashes = F.transform(toks, lambda t: _h64(99, t))
+
+    def _vote_fn(b: int):
+        # exactly-2-arg merge lambda (see _seeded_hash_fn note)
+        return lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)) * 2 - 1
+
+    total = F.lit(0).cast("long")
+    for b in range(bits):
+        vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(b))
+        total = total + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
+    return total
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    threshold: float = 0.5,
+    use_shingles: bool = True,
+) -> DataFrame:
+    """Exact n-gram (or word-set) Jaccard for all pairs (id1 < id2),
+    via inverted index: explode distinct tokens, equi-join on token
+    (+ optional blocking key), count intersections, derive |union| from
+    per-doc set sizes. Output: id1, id2, jaccard (round 4) ≥ threshold.
+    """
+    tok_expr = (
+        shingles_expr(qcol(text_col))
+        if use_shingles
+        else F.array_distinct(tokens_ws(qcol(text_col)))
+    )
+    base = df.select(
+        qcol(id_col).alias("__id"),
+        *( [qcol(block_col).alias("__blk")] if block_col else [] ),
+        tok_expr.alias("__toks"),
+    ).withColumn("__size", F.size("__toks"))
+
+    exploded = base.select(
+        "__id", *(["__blk"] if block_col else []), "__size",
+        F.explode("__toks").alias("__tok"),
+    )
+    left = exploded.select(
+        F.col("__id").alias("id1"), F.col("__size").alias("s1"),
+        *( [F.col("__blk").alias("b1")] if block_col else [] ),
+        "__tok",
+    )
+    right = exploded.select(
+        F.col("__id").alias("id2"), F.col("__size").alias("s2"),
+        *( [F.col("__blk").alias("b2")] if block_col else [] ),
+        "__tok",
+    )
+    join_cond = ["__tok"] if not block_col else ["__tok"]
+    joined = left.join(right, join_cond).filter(F.col("id1") < F.col("id2"))
+    if block_col:
+        joined = joined.filter(F.col("b1") == F.col("b2"))
+    inter = joined.groupBy("id1", "id2", "s1", "s2").agg(
+        F.count(F.lit(1)).alias("__inter")
+    )
+    jac = F.round(
+        F.col("__inter").cast("double")
+        / (F.col("s1") + F.col("s2") - F.col("__inter")).cast("double"),
+        4,
+    )
+    return (
+        inter.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id1", "id2", "jaccard")
+    )

@@ -1,0 +1,101 @@
+"""Multimodal (image/audio/video) column plumbing (north_star).
+
+Media are opaque ``binary`` columns + typed metadata, the lakehouse
+pattern for multimodal training data: the engine moves/filters/joins
+bytes and metadata relationally; decode/feature-extraction runs as
+Arrow-batched Pandas functions over ``mapInPandas``.
+
+The container has no image/audio libraries, so the DECODE step is
+stubbed (deterministic fake features derived from the bytes, or
+``NotImplementedError`` in strict mode) — but everything Spark-side is
+real and tested: schema, binary handling, batch iteration, partition
+sizing, output typing.
+
+Scale notes:
+- bytes never pass through Python row-at-a-time: mapInPandas receives
+  Arrow record batches.
+- ``spark.sql.files.maxPartitionBytes`` + a repartition on the id keeps
+  per-task memory bounded when blobs are large.
+- metadata-only operations (filter by mime/size/hash) are pure column
+  expressions on the (pruned) metadata columns — the blob column is
+  never read when the plan doesn't need it (parquet column pruning).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = (
+    "media_id bigint, blob binary, mime string, n_bytes bigint, sha string"
+)
+
+FEATURE_SCHEMA = "media_id bigint, mime string, n_bytes bigint, feature array<float>"
+
+# pass strict=True to extract_features → NotImplementedError where a
+# real codec would be needed (flag is captured by value in the task
+# closure; a module global would not survive the executor re-import)
+
+
+def wrap_as_media(df: DataFrame, id_col: str, payload_col: str, mime: str) -> DataFrame:
+    """Turn any string/binary column into the canonical media layout:
+    (media_id, blob, mime, n_bytes, sha)."""
+    blob = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("bigint").alias("media_id"),
+        blob.alias("blob"),
+        F.lit(mime).alias("mime"),
+        F.length(blob).cast("bigint").alias("n_bytes"),
+        F.sha2(blob, 256).alias("sha"),
+    )
+
+
+def media_metadata(df: DataFrame) -> DataFrame:
+    """Metadata projection — the blob column is pruned from the scan."""
+    return df.select("media_id", "mime", "n_bytes", "sha")
+
+
+def _fake_decode(blob: bytes, dim: int = 8, strict: bool = False) -> list[float]:
+    """Deterministic stand-in for a codec: 8 byte-histogram buckets,
+    normalized. Real deployments replace this one function."""
+    if strict:
+        raise NotImplementedError("no media codecs in this environment")
+    if blob is None or len(blob) == 0:
+        return [0.0] * dim
+    buckets = [0] * dim
+    for b in blob:
+        buckets[b % dim] += 1
+    n = float(len(blob))
+    return [round(c / n, 6) for c in buckets]
+
+
+def extract_features(df: DataFrame, dim: int = 8, strict: bool = False) -> DataFrame:
+    """Decode + featurize via mapInPandas (Arrow batches; the real
+    pattern for image resize / audio frame-sample / video keyframe)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "mime": pdf["mime"],
+                    "n_bytes": pdf["n_bytes"],
+                    "feature": [_fake_decode(b, dim, strict) for b in pdf["blob"]],
+                }
+            )
+
+    return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+def dedup_by_content(df: DataFrame) -> DataFrame:
+    """Exact media dedup on the content hash — metadata-only plan."""
+    return df.groupBy("sha").agg(
+        F.min("media_id").alias("media_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.first("mime").alias("mime"),
+        F.min("n_bytes").alias("n_bytes"),
+    )

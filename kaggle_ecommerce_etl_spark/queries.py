@@ -749,6 +749,426 @@ FROM r WHERE rank <= 5
 
 
 # --------------------------------------------------------------------------
+# relational breadth: TPC-H shapes, having, windows, cube, pivot, set ops
+# --------------------------------------------------------------------------
+
+def q_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan+filter+agg; every predicate pushes to
+    the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+ORACLE_REVENUE_FILTER = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24
+"""
+
+
+def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cut = F.lit("1996-06-30").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(orders.filter(F.col("o_orderdate") < cut), li.l_orderkey == orders.o_orderkey)
+        .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
+              orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+ORACLE_TOP_UNSHIPPED = """
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_shipdate > TIMESTAMP '1996-06-30'
+  AND o_orderdate < TIMESTAMP '1996-06-30'
+  AND c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q18 shape: groupBy + HAVING via post-agg filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 150)
+    )
+
+
+ORACLE_BIG_ORDERS = """
+SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+"""
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window running aggregate per customer over order history."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+ORACLE_RUNNING_TOTAL = """
+SELECT o_custkey, o_orderkey,
+       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+             ORDER BY o_orderdate, o_orderkey
+             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+FROM orders
+"""
+
+
+def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE rollup over returnflag × linestatus."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+ORACLE_SALES_CUBE = """
+SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot linestatus into columns."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+    )
+
+
+ORACLE_PIVOT = """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+def q_set_ops_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT + EXCEPT: machinery customers who ordered, minus those
+    with an 'F'-status order."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    machinery = cust.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    ordered = orders.select(F.col("o_custkey").alias("custkey"))
+    f_status = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    return machinery.intersect(ordered).exceptAll(f_status.distinct())
+
+
+ORACLE_SET_OPS = """
+SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'MACHINERY'
+INTERSECT
+SELECT o_custkey FROM orders
+EXCEPT
+SELECT DISTINCT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
+def q_supplier_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS via left_anti: suppliers with no deep-discount lines."""
+    supp = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_discount") > 0.09)
+    return supp.join(li, supp.s_suppkey == li.l_suppkey, "left_anti").select(
+        "s_suppkey", "s_name"
+    )
+
+
+ORACLE_SUPPLIER_ANTI = """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s.s_suppkey AND l_discount > 0.09)
+"""
+
+
+def q_parts_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-subquery shape: parts priced above the global average.
+    The 1-row aggregate is broadcast — no collect, no second scan of
+    the filtered side."""
+    part = _t(spark, sf_dir, "part")
+    avg_df = part.agg(F.avg("p_retailprice").alias("__avg"))
+    return (
+        part.join(F.broadcast(avg_df))
+        .filter(F.col("p_retailprice") > F.col("__avg"))
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+
+
+ORACLE_PARTS_ABOVE_AVG = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+WHERE p_retailprice > (SELECT avg(p_retailprice) FROM part)
+"""
+
+
+def q_letters_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op 32: keep rows where every selected cell is a letter-containing
+    string (the reference's embedded-header predicate, relational
+    form)."""
+    from kaggle_ecommerce_etl_spark.operators.structural import all_letter_string_row
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("p1"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit("123"))
+        .otherwise(F.lit("aBc"))
+        .alias("p2"),
+    )
+    pred_df = o.select("p1", "p2")
+    return o.filter(all_letter_string_row(pred_df)).select("o_orderkey", "p1", "p2")
+
+
+ORACLE_LETTERS = """
+SELECT o_orderkey, o_orderpriority AS p1,
+       CASE WHEN o_orderkey % 4 = 0 THEN '123' ELSE 'aBc' END AS p2
+FROM orders
+WHERE o_orderkey % 4 <> 0 AND regexp_matches(o_orderpriority, '[a-zA-Z]')
+"""
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1h window / 30m slide) counts per event type."""
+    from kaggle_ecommerce_etl_spark.streaming.file_source import windowed_event_counts
+
+    ev = _t(spark, sf_dir, "events")
+    return windowed_event_counts(ev, window="1 hour", slide="30 minutes")
+
+
+ORACLE_SLIDING = """
+WITH b AS (
+  -- make_timestamp(µs) is tz-naive; to_timestamp()::TIMESTAMP would
+  -- localize through the DuckDB session TimeZone and skew on non-UTC hosts
+  SELECT make_timestamp(CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT) * 1000000)
+           AS bucket,
+         event_type, value
+  FROM events
+),
+assigned AS (
+  SELECT bucket AS window_start, event_type, value FROM b
+  UNION ALL
+  SELECT bucket - INTERVAL 30 MINUTE AS window_start, event_type, value FROM b
+)
+SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS total
+FROM assigned GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------------
+# north-star: near-duplicate detection (minhash / simhash / jaccard)
+# --------------------------------------------------------------------------
+
+_SHINGLE_SQL = """
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+s AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t)-1, 2))]) AS sh
+      FROM t)
+"""
+
+
+def _mh_sql(i: int) -> str:
+    return (
+        f"list_min([(('0x' || substr(md5('{i}:' || x), 1, 8))::BIGINT) "
+        f"for x in sh]) AS mh{i}"
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import minhash_signatures
+
+    return minhash_signatures(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_MINHASH = (
+    _SHINGLE_SQL
+    + "SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(8))
+    + " FROM s"
+)
+
+
+def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(_t(spark, sf_dir, "documents"))
+    return lsh_candidate_pairs(sigs)
+
+
+def _band_sql(b: int) -> str:
+    lo, hi = 2 * b, 2 * b + 1
+    return f"md5(mh{lo} || ',' || mh{hi}) AS band{b}"
+
+
+ORACLE_LSH_PAIRS = (
+    _SHINGLE_SQL
+    + ", sigs AS (SELECT doc_id, "
+    + ", ".join(_mh_sql(i) for i in range(8))
+    + " FROM s), bands AS (SELECT doc_id, "
+    + ", ".join(_band_sql(b) for b in range(4))
+    + " FROM sigs) "
+    + " UNION ".join(
+        f"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import simhash_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+
+
+_SIMHASH_BIT_SQL = " + ".join(
+    f"(CASE WHEN list_sum([((y >> {b}) & 1) * 2 - 1 for y in hs]) > 0 "
+    f"THEN {1 << b} ELSE 0 END)"
+    for b in range(16)
+)
+
+ORACLE_SIMHASH = f"""
+WITH t AS (SELECT doc_id,
+                  list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+           FROM documents),
+h AS (SELECT doc_id,
+             [(('0x' || substr(md5('99:' || x), 1, 8))::BIGINT) for x in toks] AS hs
+      FROM t)
+SELECT doc_id, CAST({_SIMHASH_BIT_SQL} AS BIGINT) AS simhash FROM h
+"""
+
+
+def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-set Jaccard near-dup pairs, blocked by source."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_col="source",
+        threshold=0.8,
+        use_shingles=False,
+    )
+
+
+ORACLE_WORD_JACCARD = """
+WITH base AS (SELECT doc_id, source,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+              FROM documents),
+e AS (SELECT doc_id, source, len(toks) AS sz, unnest(toks) AS tok FROM base),
+j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2,
+             count(*) AS inter
+      FROM e a JOIN e b ON a.tok = b.tok AND a.source = b.source
+                        AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+SELECT id1, id2, round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) AS jaccard
+FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.8
+"""
+
+
+def q_embedding_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: nearest neighbor (top-1 cosine) per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb, k=1)
+
+
+ORACLE_EMB_NEAREST = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings),
+c AS (SELECT vec_id AS neighbor_id, CAST(embedding AS DOUBLE[]) AS cv
+      FROM embeddings),
+s AS (SELECT query_id, neighbor_id,
+             round(list_cosine_similarity(qv, cv), 6) AS sim
+      FROM q CROSS JOIN c WHERE query_id <> neighbor_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= 1
+"""
+
+
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: binary blob column + typed metadata
+    (content hash / byte length); blob pruned from the output plan."""
+    from kaggle_ecommerce_etl_spark.functions.multimodal import (
+        media_metadata,
+        wrap_as_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    media = wrap_as_media(docs, "doc_id", "text", "text/plain")
+    return media_metadata(media)
+
+
+ORACLE_MULTIMODAL = """
+SELECT doc_id AS media_id, 'text/plain' AS mime,
+       octet_length(CAST(text AS BLOB)) AS n_bytes,
+       sha256(text) AS sha
+FROM documents
+"""
+
+
+def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """describe()-style profile (op 19). Rows-only check: Spark's
+    summary() uses approximate percentiles which no exact-SQL oracle
+    reproduces."""
+    from kaggle_ecommerce_etl_spark.normalize.profile import summary_stats
+
+    return summary_stats(
+        _t(spark, sf_dir, "lineitem"), ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+# --------------------------------------------------------------------------
 # registry
 # --------------------------------------------------------------------------
 
@@ -783,4 +1203,25 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "lang_id": (q_lang_id, ORACLE_LANG_ID),
     "quality_score": (q_quality_score, ORACLE_QUALITY),
     "cosine_topk": (q_cosine_topk, ORACLE_COSINE_TOPK),
+    # relational breadth
+    "revenue_filter": (q_revenue_filter, ORACLE_REVENUE_FILTER),
+    "top_unshipped": (q_top_unshipped, ORACLE_TOP_UNSHIPPED),
+    "big_orders": (q_big_orders, ORACLE_BIG_ORDERS),
+    "running_total": (q_running_total, ORACLE_RUNNING_TOTAL),
+    "sales_cube": (q_sales_cube, ORACLE_SALES_CUBE),
+    "pivot_status": (q_pivot_status, ORACLE_PIVOT),
+    "set_ops_customers": (q_set_ops_customers, ORACLE_SET_OPS),
+    "supplier_anti_join": (q_supplier_anti_join, ORACLE_SUPPLIER_ANTI),
+    "parts_above_avg": (q_parts_above_avg, ORACLE_PARTS_ABOVE_AVG),
+    "letters_predicate": (q_letters_predicate, ORACLE_LETTERS),
+    "events_sliding": (q_events_sliding, ORACLE_SLIDING),
+    # near-duplicate detection
+    "minhash_signatures": (q_minhash_signatures, ORACLE_MINHASH),
+    "lsh_candidate_pairs": (q_lsh_candidate_pairs, ORACLE_LSH_PAIRS),
+    "simhash": (q_simhash, ORACLE_SIMHASH),
+    "word_jaccard_pairs": (q_word_jaccard_pairs, ORACLE_WORD_JACCARD),
+    "embedding_nearest": (q_embedding_nearest, ORACLE_EMB_NEAREST),
+    # multimodal + profiling
+    "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL),
+    "summary_stats": (q_summary_stats, None),
 }

@@ -27,24 +27,37 @@ FILENAME_TS_FORMAT = "yyyy-MM-dd_HH-mm-ss"
 def read_csv_with_encoding_fallback(
     spark: SparkSession, path: str, encodings: tuple[str, ...] = ("UTF-8", "ISO-8859-1")
 ) -> DataFrame:
-    """Header CSV read, all columns string; retry with fallback encodings
-    on failure (driver-side try/except mirrors the reference's retry).
-    A malformed-in-UTF-8 file surfaces lazily, so we force a tiny action
-    (take(1)) to validate the encoding before committing to it."""
-    last_err: Exception | None = None
+    """Header CSV read, all columns string; retry with the next encoding
+    when the current one mis-decodes (the reference's UTF-8 →
+    ISO-8859-1 retry, pg.py:104-114).
+
+    Spark does not raise on undecodable bytes — it substitutes U+FFFD —
+    so "decode failed" is detected by probing a small sample for the
+    replacement character (cheap driver-side take(), scan not executed
+    beyond the sample). Files legitimately containing U+FFFD would fall
+    through to the last encoding; acceptable for raw-CSV ingest."""
+    last_df = None
     for enc in encodings:
         df = (
             spark.read.option("header", True)
             .option("encoding", enc)
-            .option("mode", "FAILFAST")
             .csv(path)
         )
+        last_df = df
         try:
-            df.take(1)
+            sample = df.take(20)
+        except Exception:  # noqa: BLE001 — unreadable under this encoding
+            continue
+        garbled = any(
+            isinstance(v, str) and "�" in v
+            for row in sample
+            for v in row
+        ) or any("�" in c for c in df.columns)
+        if not garbled:
             return df
-        except Exception as e:  # noqa: BLE001 — retry with next encoding
-            last_err = e
-    raise last_err if last_err else RuntimeError(f"no encoding worked for {path}")
+    if last_df is None:
+        raise RuntimeError(f"no encoding worked for {path}")
+    return last_df
 
 
 def read_recent_csv(

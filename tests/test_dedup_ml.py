@@ -1,0 +1,68 @@
+"""Near-dup detection tests (minhash / simhash / jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_expr,
+)
+
+
+def _docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+            (3, "completely different content entirely here now"),
+            (4, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_minhash_identical_docs_identical_sigs(spark):
+    sigs = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(_docs(spark)).collect()}
+    assert sigs[1] == sigs[4]          # exact dup → identical signature
+    assert sigs[1] != sigs[3]          # different doc → different signature
+    # near-dup shares at least one minhash component
+    shared = sum(1 for a, b in zip(sigs[1], sigs[2]) if a == b)
+    assert shared >= 1
+
+
+def test_lsh_pairs_catch_exact_dup(spark):
+    sigs = minhash_signatures(_docs(spark))
+    pairs = {(r.id1, r.id2) for r in lsh_candidate_pairs(sigs).collect()}
+    assert (1, 4) in pairs             # identical docs always share all bands
+    assert all(a < b for a, b in pairs)
+
+
+def test_simhash_locality(spark):
+    df = _docs(spark).select("doc_id", simhash_expr(F.col("text")).alias("sh"))
+    sh = {r.doc_id: r.sh for r in df.collect()}
+    assert sh[1] == sh[4]
+    ham_near = bin(sh[1] ^ sh[2]).count("1")
+    ham_far = bin(sh[1] ^ sh[3]).count("1")
+    assert ham_near <= ham_far          # similar docs → closer fingerprints
+    assert 0 <= sh[1] < 2 ** 16
+
+
+def test_jaccard_exact_values(spark):
+    out = {
+        (r.id1, r.id2): r.jaccard
+        for r in ngram_jaccard_pairs(
+            _docs(spark), threshold=0.0, use_shingles=False
+        ).collect()
+    }
+    assert out[(1, 4)] == 1.0
+    # docs 1 and 2: 7 shared of 9 distinct words → J = 7/9
+    assert out[(1, 2)] == 0.7778
+    assert (1, 3) not in out or out[(1, 3)] == 0.0
+
+
+def test_jaccard_threshold_filters(spark):
+    out = ngram_jaccard_pairs(_docs(spark), threshold=0.9, use_shingles=False)
+    assert {(r.id1, r.id2) for r in out.collect()} == {(1, 4)}
