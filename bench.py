@@ -32,10 +32,15 @@ HEADLINE = [
     "mostly_null_filter",
     "parse_gate",
     "events_sessionize",
+    "events_sliding",
     "dedup_exact_docs",
     "lang_id",
     "quality_score",
     "cosine_topk",
+    "minhash_signatures",
+    "word_jaccard_pairs",
+    "top_unshipped",
+    "running_total",
 ]
 
 

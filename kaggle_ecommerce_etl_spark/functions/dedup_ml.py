@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
-from kaggle_ecommerce_etl_spark.util import qcol
+from kaggle_ecommerce_etl_spark.util import ensure_min_partitions, qcol
 
 N_MINHASH = 8
 BAND_SIZE = 2
@@ -74,6 +74,8 @@ def minhash_signature_exprs(col: Column, k: int = N_MINHASH) -> list[Column]:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = N_MINHASH
 ) -> DataFrame:
+    # k·|shingles| md5 calls per row: CPU-bound → guarantee parallelism
+    df = ensure_min_partitions(df)
     return df.select(qcol(id_col), *minhash_signature_exprs(qcol(text_col), k))
 
 
@@ -159,18 +161,19 @@ def ngram_jaccard_pairs(
     )
     left = exploded.select(
         F.col("__id").alias("id1"), F.col("__size").alias("s1"),
-        *( [F.col("__blk").alias("b1")] if block_col else [] ),
+        *( [F.col("__blk")] if block_col else [] ),
         "__tok",
     )
     right = exploded.select(
         F.col("__id").alias("id2"), F.col("__size").alias("s2"),
-        *( [F.col("__blk").alias("b2")] if block_col else [] ),
+        *( [F.col("__blk")] if block_col else [] ),
         "__tok",
     )
-    join_cond = ["__tok"] if not block_col else ["__tok"]
+    # block key INSIDE the equi-join (not a post-filter): the shuffle
+    # hash-partitions on (token, block), so cross-block candidates never
+    # materialize
+    join_cond = ["__tok", "__blk"] if block_col else ["__tok"]
     joined = left.join(right, join_cond).filter(F.col("id1") < F.col("id2"))
-    if block_col:
-        joined = joined.filter(F.col("b1") == F.col("b2"))
     inter = joined.groupBy("id1", "id2", "s1", "s2").agg(
         F.count(F.lit(1)).alias("__inter")
     )

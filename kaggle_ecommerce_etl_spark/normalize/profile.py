@@ -8,10 +8,19 @@ Reference behavior re-expressed:
 - month/datetime gate: iff ANY value parses (pg.py:159-161)
 - drop all-null columns (pg.py:202-204)
 
-Scale design: all gates for one table are batched into ONE aggregation
-job (single scan, map-side partial aggregation, one tiny shuffled
-result row) rather than one scan per column — at 100 TB, N profiling
-scans would dominate the pipeline.
+Scale design: ALL gates for one table — including the post-coercion
+null counts that decide the drop-all-null-columns projection — are
+batched into ONE aggregation job (single scan, map-side partial
+aggregation, one tiny result row). A naive implementation profiles
+once to pick coercions and scans again to find dead columns; here the
+per-branch success counts collected up front make the second scan
+unnecessary. At 100 TB, each profiling scan IS the cost of the
+pipeline, so the count matters.
+
+Per-column work is role-aware (role derived from the column name, as
+in the reference): date columns only pay the date-parse probe, month
+columns the date+prefix probes, everything else the numeric probe —
+instead of every column paying every probe.
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from kaggle_ecommerce_etl_spark.normalize.casts import (
+    MONTH_PREFIX_MAP,
     strip_numeric_noise,
     tolerant_date,
 )
@@ -44,36 +54,62 @@ def summary_stats(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     return df.summary() if cols is None else df.select(*cols).summary()
 
 
+def column_role(name: str) -> str:
+    """Name-driven coercion role, mirroring the reference's heuristics."""
+    n = name.lower()
+    if "date" in n:
+        return "date"
+    if "month" in n:
+        return "month"
+    return "candidate"
+
+
+def _prefix_mapped(col) -> F.Column:
+    prefix = F.lower(F.substring(F.trim(col), 1, 3))
+    return prefix.isin(list(MONTH_PREFIX_MAP)).cast("long")
+
+
 def column_profile(df: DataFrame, string_cols: Sequence[str] | None = None) -> dict:
     """ONE job computing every gate the transform layer needs.
 
-    Returns ``{col: {"nulls": int, "numeric_rate": float|None,
-    "date_any": bool|None}}`` plus ``{"__rows__": n}``.
-    numeric_rate / date_any are only computed for string columns.
+    Returns ``{"__rows__": n, col: {"nulls", "numeric_ok", "date_ok",
+    "prefix_ok", "role"}}`` — per-branch SUCCESS COUNTS, so the caller
+    can both pick the coercion and know the post-coercion null count
+    without a second scan.
     """
     if string_cols is None:
         string_cols = [
             f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
         ]
+    roles = {c: column_role(c) for c in string_cols}
+
     aggs = [F.count(F.lit(1)).alias("__rows__")]
     for c in df.columns:
         aggs.append(F.sum(qcol(c).isNull().cast("long")).alias(f"nulls__{c}"))
     for c in string_cols:
-        aggs.append(
-            F.avg(
-                strip_numeric_noise(qcol(c)).try_cast("double").isNotNull().cast("double")
-            ).alias(f"numrate__{c}")
-        )
-        aggs.append(
-            F.max(tolerant_date(qcol(c)).isNotNull().cast("int")).alias(f"dateany__{c}")
-        )
+        role = roles[c]
+        if role in ("date", "month"):
+            aggs.append(
+                F.sum(tolerant_date(qcol(c)).isNotNull().cast("long")).alias(f"dateok__{c}")
+            )
+        if role == "month":
+            aggs.append(F.sum(_prefix_mapped(qcol(c))).alias(f"prefixok__{c}"))
+        if role == "candidate":
+            aggs.append(
+                F.sum(
+                    strip_numeric_noise(qcol(c)).try_cast("double").isNotNull().cast("long")
+                ).alias(f"numok__{c}")
+            )
     row = df.agg(*aggs).collect()[0].asDict()
+
     out: dict = {"__rows__": row["__rows__"]}
     for c in df.columns:
         out[c] = {
             "nulls": row[f"nulls__{c}"],
-            "numeric_rate": row.get(f"numrate__{c}"),
-            "date_any": bool(row[f"dateany__{c}"]) if f"dateany__{c}" in row and row[f"dateany__{c}"] is not None else None,
+            "numeric_ok": row.get(f"numok__{c}"),
+            "date_ok": row.get(f"dateok__{c}"),
+            "prefix_ok": row.get(f"prefixok__{c}"),
+            "role": roles.get(c),
         }
     return out
 
@@ -87,5 +123,5 @@ def drop_all_null_columns(df: DataFrame, profile: dict | None = None) -> DataFra
         dead = [c for c in df.columns if counts[c] == total]
     else:
         total = profile["__rows__"]
-        dead = [c for c in df.columns if profile[c]["nulls"] == total]
+        dead = [c for c in df.columns if c in profile and profile[c]["nulls"] == total]
     return df.drop(*dead) if dead else df

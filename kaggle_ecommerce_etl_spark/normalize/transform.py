@@ -4,8 +4,8 @@ inner ``transform()``, reference ecommerce_s3_to_pg.py:123-214).
 Two-phase execution, made explicit:
 
 1. **Profile** — ONE aggregation job over the already NA-canonicalized
-   frame computes every data-dependent gate (numeric parse rate per
-   string column, any-date per month column, per-column null counts).
+   frame computes every data-dependent gate: per-branch success counts
+   (numeric / date / month-prefix) and per-column null counts.
 2. **Plan** — emit a single lazy projection applying, per column:
    - name contains ``date``  → tolerant parse → ISO ``yyyy-MM-dd`` string
    - name contains ``month`` → month-name normalization (datetime branch
@@ -13,11 +13,13 @@ Two-phase execution, made explicit:
    - ≥90% numeric-parseable  → noise-strip + double cast + round(2)
      [pg.py:175-184]
    - remaining string cols   → trim                      [pg.py:190-192]
-   then drop all-null columns [pg.py:202-204].
+   then drop all-null columns [pg.py:202-204] — decided from the SAME
+   profile (each branch's success count IS its post-coercion non-null
+   count), so no second scan.
 
-The emitted plan is pure Column expressions — Catalyst fuses the whole
-thing into one codegen stage over the scan; only the profile job reads
-the data twice, and it is a single pass with map-side partial aggs.
+The emitted plan is pure Column expressions — Catalyst fuses it into
+one codegen stage over the scan; total data reads: profile scan + the
+consumer's execution. No UDFs anywhere.
 """
 
 from __future__ import annotations
@@ -33,7 +35,7 @@ from kaggle_ecommerce_etl_spark.normalize.casts import (
     normalize_month_expr_prefix,
     tolerant_numeric,
 )
-from kaggle_ecommerce_etl_spark.normalize.profile import column_profile, drop_all_null_columns
+from kaggle_ecommerce_etl_spark.normalize.profile import column_profile
 from kaggle_ecommerce_etl_spark.normalize.tokens import canonicalize_na
 from kaggle_ecommerce_etl_spark.util import qcol
 
@@ -52,25 +54,34 @@ def transform(df: DataFrame, numeric_gate: float = NUMERIC_GATE) -> DataFrame:
     n_rows = prof["__rows__"]
 
     exprs: dict[str, F.Column] = {}
-    for c in string_cols:
-        name = c.lower()
-        if "date" in name:
+    nonnull_after: dict[str, int] = {}
+    for c in df.columns:
+        info = prof[c]
+        if c not in string_cols:
+            nonnull_after[c] = n_rows - info["nulls"]
+            continue
+        role = info["role"]
+        if role == "date":
             exprs[c] = date_to_iso(qcol(c))
-        elif "month" in name:
-            if prof[c]["date_any"]:
+            nonnull_after[c] = info["date_ok"]
+        elif role == "month":
+            if info["date_ok"]:
                 exprs[c] = normalize_month_expr_datetime(qcol(c))
+                nonnull_after[c] = info["date_ok"]
             else:
                 exprs[c] = normalize_month_expr_prefix(qcol(c))
-        elif (
-            n_rows > 0
-            and prof[c]["numeric_rate"] is not None
-            and prof[c]["numeric_rate"] > numeric_gate
+                nonnull_after[c] = info["prefix_ok"]
+        elif n_rows > 0 and info["numeric_ok"] is not None and (
+            info["numeric_ok"] / n_rows > numeric_gate
         ):
             exprs[c] = tolerant_numeric(qcol(c))
+            nonnull_after[c] = info["numeric_ok"]
         else:
+            # trim never creates new NULLs (NA tokens already collapsed)
             exprs[c] = F.trim(qcol(c))
+            nonnull_after[c] = n_rows - info["nulls"]
+
     out = df.withColumns(exprs) if exprs else df
-    # NA tokens may reappear as '' after trim → canonicalize once more
     out = canonicalize_na(out)
-    # null counts change after coercion (failed parses → NULL): recount
-    return drop_all_null_columns(out)
+    dead = [c for c in out.columns if nonnull_after.get(c, 1) == 0]
+    return out.drop(*dead) if dead else out

@@ -662,7 +662,9 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", lang_id_expr(F.col("text")).alias("lang_pred"))
 
 
@@ -702,7 +704,9 @@ FROM s2
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _t(spark, sf_dir, "documents")
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", quality_score_expr(F.col("text")).alias("quality"))
 
 
@@ -1064,8 +1068,9 @@ ORACLE_LSH_PAIRS = (
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaggle_ecommerce_etl_spark.functions.dedup_ml import simhash_expr
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
 
-    d = _t(spark, sf_dir, "documents")
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
 
 

@@ -25,7 +25,9 @@ FILENAME_TS_FORMAT = "yyyy-MM-dd_HH-mm-ss"
 
 
 def read_csv_with_encoding_fallback(
-    spark: SparkSession, path: str, encodings: tuple[str, ...] = ("UTF-8", "ISO-8859-1")
+    spark: SparkSession,
+    path: str | list[str],
+    encodings: tuple[str, ...] = ("UTF-8", "ISO-8859-1"),
 ) -> DataFrame:
     """Header CSV read, all columns string; retry with the next encoding
     when the current one mis-decodes (the reference's UTF-8 →
@@ -41,7 +43,7 @@ def read_csv_with_encoding_fallback(
         df = (
             spark.read.option("header", True)
             .option("encoding", enc)
-            .csv(path)
+            .csv(path if isinstance(path, str) else list(path))
         )
         last_df = df
         try:

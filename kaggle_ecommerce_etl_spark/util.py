@@ -11,3 +11,18 @@ def qcol(name: str) -> Column:
     and other specials in raw CSV headers (e.g. ``Design No.``) are not
     parsed as nested-field access."""
     return F.col("`" + name.replace("`", "``") + "`")
+
+
+def ensure_min_partitions(df, n: int | None = None):
+    """Repartition iff the input has fewer partitions than the target.
+
+    Expression-heavy operators (minhash, simhash, language ID) are
+    CPU-bound; a small parquet table often arrives as ONE file = one
+    partition, serializing the whole computation. The shuffle this
+    inserts is negligible next to the per-row work it parallelizes.
+    No-op when the scan is already parallel (the 100 TB case)."""
+    if n is None:
+        n = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < n:
+        return df.repartition(n)
+    return df
