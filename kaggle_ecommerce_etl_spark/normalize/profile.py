@@ -36,6 +36,7 @@ from kaggle_ecommerce_etl_spark.normalize.casts import (
     strip_numeric_noise,
     tolerant_date,
 )
+from kaggle_ecommerce_etl_spark.normalize.tokens import na_token_to_null
 from kaggle_ecommerce_etl_spark.util import qcol
 
 
@@ -100,6 +101,13 @@ def column_profile(df: DataFrame, string_cols: Sequence[str] | None = None) -> d
                     strip_numeric_noise(qcol(c)).try_cast("double").isNotNull().cast("long")
                 ).alias(f"numok__{c}")
             )
+            # non-null AFTER NA-token canonicalization + trim (the
+            # else-branch's post-transform null count)
+            aggs.append(
+                F.sum(na_token_to_null(qcol(c)).isNotNull().cast("long")).alias(
+                    f"keepok__{c}"
+                )
+            )
     row = df.agg(*aggs).collect()[0].asDict()
 
     out: dict = {"__rows__": row["__rows__"]}
@@ -107,6 +115,7 @@ def column_profile(df: DataFrame, string_cols: Sequence[str] | None = None) -> d
         out[c] = {
             "nulls": row[f"nulls__{c}"],
             "numeric_ok": row.get(f"numok__{c}"),
+            "keep_ok": row.get(f"keepok__{c}"),
             "date_ok": row.get(f"dateok__{c}"),
             "prefix_ok": row.get(f"prefixok__{c}"),
             "role": roles.get(c),

@@ -36,16 +36,23 @@ from kaggle_ecommerce_etl_spark.normalize.casts import (
     tolerant_numeric,
 )
 from kaggle_ecommerce_etl_spark.normalize.profile import column_profile
-from kaggle_ecommerce_etl_spark.normalize.tokens import canonicalize_na
+from kaggle_ecommerce_etl_spark.normalize.tokens import na_token_to_null
 from kaggle_ecommerce_etl_spark.util import qcol
 
 NUMERIC_GATE = 0.9  # reference: converted.notna().sum() > 0.9*len(df)
 
 
 def transform(df: DataFrame, numeric_gate: float = NUMERIC_GATE) -> DataFrame:
-    """Rule-driven cleanup of a raw all-string frame (see module doc)."""
+    """Rule-driven cleanup of a raw all-string frame (see module doc).
+
+    Emits ONE ``select`` projection (not layered withColumns passes):
+    the coercion branches null out NA tokens inherently ('' / 'NA' fail
+    every parse), and the keep-branch composes trim + NA-canonicalize
+    at the expression level. A flat projection keeps Catalyst analysis
+    cost linear in columns — layered projections made plan compilation
+    the dominant cost for wide frames.
+    """
     df = normalize_column_names(df)
-    df = canonicalize_na(df)
 
     string_cols = [
         f.name for f in df.schema.fields if isinstance(f.dataType, T.StringType)
@@ -53,35 +60,35 @@ def transform(df: DataFrame, numeric_gate: float = NUMERIC_GATE) -> DataFrame:
     prof = column_profile(df, string_cols)
     n_rows = prof["__rows__"]
 
-    exprs: dict[str, F.Column] = {}
+    select_exprs = []
     nonnull_after: dict[str, int] = {}
     for c in df.columns:
         info = prof[c]
         if c not in string_cols:
+            select_exprs.append(qcol(c))
             nonnull_after[c] = n_rows - info["nulls"]
             continue
         role = info["role"]
         if role == "date":
-            exprs[c] = date_to_iso(qcol(c))
+            expr = date_to_iso(qcol(c))
             nonnull_after[c] = info["date_ok"]
         elif role == "month":
             if info["date_ok"]:
-                exprs[c] = normalize_month_expr_datetime(qcol(c))
+                expr = normalize_month_expr_datetime(qcol(c))
                 nonnull_after[c] = info["date_ok"]
             else:
-                exprs[c] = normalize_month_expr_prefix(qcol(c))
+                expr = normalize_month_expr_prefix(qcol(c))
                 nonnull_after[c] = info["prefix_ok"]
         elif n_rows > 0 and info["numeric_ok"] is not None and (
             info["numeric_ok"] / n_rows > numeric_gate
         ):
-            exprs[c] = tolerant_numeric(qcol(c))
+            expr = tolerant_numeric(qcol(c))
             nonnull_after[c] = info["numeric_ok"]
         else:
-            # trim never creates new NULLs (NA tokens already collapsed)
-            exprs[c] = F.trim(qcol(c))
-            nonnull_after[c] = n_rows - info["nulls"]
+            expr = na_token_to_null(F.trim(qcol(c)))
+            nonnull_after[c] = info["keep_ok"]
+        select_exprs.append(expr.alias(c))
 
-    out = df.withColumns(exprs) if exprs else df
-    out = canonicalize_na(out)
+    out = df.select(*select_exprs)
     dead = [c for c in out.columns if nonnull_after.get(c, 1) == 0]
     return out.drop(*dead) if dead else out

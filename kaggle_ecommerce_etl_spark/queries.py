@@ -66,6 +66,9 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # deterministic temporal semantics regardless of the caller's session
     # (DuckDB oracles are UTC-naive)
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # see session.py: avoids exponential optimizer cost on wide
+    # isNull-heavy filters (transform / mostly-null queries)
+    spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
         # reader rejects; read ns as long, floor-div to micros (identical
@@ -1162,6 +1165,129 @@ FROM documents
 """
 
 
+def q_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation per group."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.countDistinct("c_nationkey").alias("n_nations"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+ORACLE_COUNT_DISTINCT = """
+SELECT c_mktsegment, count(DISTINCT c_nationkey) AS n_nations,
+       count(*) AS n_customers
+FROM customer GROUP BY c_mktsegment
+"""
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function surface: substring / concat / replace / LIKE /
+    regexp_extract / length / position."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.substring("p_name", 1, 5).alias("prefix"),
+        F.concat_ws("-", "p_brand", "p_type").alias("brand_type"),
+        F.regexp_replace("p_name", "a", "@").alias("subbed"),
+        F.col("p_name").like("%steel%").alias("is_steel"),
+        F.regexp_extract("p_name", r"(\w+)$", 1).alias("last_word"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.instr("p_name", "o").cast("bigint").alias("first_o"),
+    )
+
+
+ORACLE_STRING_FUNCS = """
+SELECT p_partkey,
+       substr(p_name, 1, 5) AS prefix,
+       p_brand || '-' || p_type AS brand_type,
+       regexp_replace(p_name, 'a', '@', 'g') AS subbed,
+       p_name LIKE '%steel%' AS is_steel,
+       coalesce(regexp_extract(p_name, '(\\w+)$', 1), '') AS last_word,
+       length(p_name) AS name_len,
+       instr(p_name, 'o') AS first_o
+FROM part
+"""
+
+
+def q_date_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date arithmetic: datediff / add_months / date_trunc / extract."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        F.year(d).cast("bigint").alias("yr"),
+        F.month(d).cast("bigint").alias("mo"),
+        F.dayofweek(d).cast("bigint").alias("dow"),
+        # ISO strings: DATE-typed outputs round-trip differently through
+        # pandas in Spark (datetime.date) vs DuckDB (datetime64) — string
+        # output removes the representation ambiguity from the comparison
+        F.date_format(F.date_add(d, 30), "yyyy-MM-dd").alias("due_date"),
+        F.date_format(F.add_months(d, 3), "yyyy-MM-dd").alias("quarter_later"),
+        F.datediff(F.lit("2002-01-01").cast("date"), d).cast("bigint").alias("days_to_2002"),
+        F.quarter(d).cast("bigint").alias("qtr"),
+    )
+
+
+ORACLE_DATE_ARITH = """
+SELECT o_orderkey,
+       year(CAST(o_orderdate AS DATE)) AS yr,
+       month(CAST(o_orderdate AS DATE)) AS mo,
+       dayofweek(CAST(o_orderdate AS DATE)) + 1 AS dow,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE), '%Y-%m-%d') AS due_date,
+       strftime(CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE), '%Y-%m-%d') AS quarter_later,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS days_to_2002,
+       quarter(CAST(o_orderdate AS DATE)) AS qtr
+FROM orders
+"""
+
+
+def q_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode: p_type word frequencies (UNNEST twin)."""
+    p = _t(spark, sf_dir, "part")
+    return (
+        p.select(F.explode(F.split("p_type", " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+ORACLE_EXPLODE = """
+SELECT word, count(*) AS n
+FROM (SELECT unnest(string_split(p_type, ' ')) AS word FROM part)
+GROUP BY word
+"""
+
+
+def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filtered/conditional aggregation per nation."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
+            F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
+            F.round(
+                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
+                2,
+            ).alias("finished_value"),
+        )
+    )
+
+
+ORACLE_CONDITIONAL_AGG = """
+SELECT c_nationkey,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2)
+         AS finished_value
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 def q_summary_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """describe()-style profile (op 19). Rows-only check: Spark's
     summary() uses approximate percentiles which no exact-SQL oracle
@@ -1229,4 +1355,10 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     # multimodal + profiling
     "multimodal_metadata": (q_multimodal_metadata, ORACLE_MULTIMODAL),
     "summary_stats": (q_summary_stats, None),
+    # scalar-function breadth
+    "count_distinct": (q_count_distinct, ORACLE_COUNT_DISTINCT),
+    "string_funcs": (q_string_funcs, ORACLE_STRING_FUNCS),
+    "date_arithmetic": (q_date_arithmetic, ORACLE_DATE_ARITH),
+    "explode_tokens": (q_explode_tokens, ORACLE_EXPLODE),
+    "conditional_agg": (q_conditional_agg, ORACLE_CONDITIONAL_AGG),
 }
