@@ -41,6 +41,11 @@ HEADLINE = [
     "word_jaccard_pairs",
     "top_unshipped",
     "running_total",
+    "exists_late_orders",
+    "nation_volume_pairs",
+    "rollup_sales",
+    "quantile_stats",
+    "ann_lsh_topk",
 ]
 
 

@@ -110,6 +110,7 @@ def lsh_bucket_topk(
     corpus: DataFrame,
     k: int = 5,
     n_planes: int = 12,
+    n_tables: int = 1,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -117,21 +118,48 @@ def lsh_bucket_topk(
 ) -> DataFrame:
     """Approximate top-k: equi-join on LSH bucket then exact re-rank.
     Scale path — the corpus is hash-partitioned by bucket, never
-    cross-joined."""
-    planes = hyperplanes(dim, n_planes, seed)
+    cross-joined.
+
+    ``n_tables`` > 1 enables OR-amplification: independent hyperplane
+    sets, one bucket column each; a pair is a candidate if it collides
+    in ANY table. Recall for a pair at angular similarity p is
+    1-(1-p^b)^T instead of p^b — the standard recall/cost dial. Each
+    table is still a bucket equi-join; candidates are unioned and
+    deduped before the (exact) re-rank, so each pair is scored once.
+    """
+    tables = [
+        hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
-        bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+        *[
+            bucket_expr(F.col(vec_col), planes).alias(f"__bucket{t}")
+            for t, planes in enumerate(tables)
+        ],
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
-        bucket_expr(F.col(vec_col), planes).alias("__bucket"),
+        *[
+            bucket_expr(F.col(vec_col), planes).alias(f"__bucket{t}")
+            for t, planes in enumerate(tables)
+        ],
     )
+    qb = F.broadcast(q)
+    cand = None
+    for t in range(n_tables):
+        pairs_t = (
+            c.select("neighbor_id", f"__bucket{t}")
+            .join(qb.select("query_id", f"__bucket{t}"), on=f"__bucket{t}")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id")
+        )
+        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
+    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
     scored = (
-        c.join(F.broadcast(q), on="__bucket")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(qb.select("query_id", "__qv"), on="query_id")
+        .join(c.select("neighbor_id", "__cv"), on="neighbor_id")
         .withColumn("sim", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -1362,3 +1362,13 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "explode_tokens": (q_explode_tokens, ORACLE_EXPLODE),
     "conditional_agg": (q_conditional_agg, ORACLE_CONDITIONAL_AGG),
 }
+
+
+def _merge_extensions() -> None:
+    # bottom-of-module import: queries_ext imports _t from this module
+    from kaggle_ecommerce_etl_spark.queries_ext import EXT_REGISTRY
+
+    REGISTRY.update(EXT_REGISTRY)
+
+
+_merge_extensions()

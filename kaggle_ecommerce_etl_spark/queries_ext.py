@@ -1,0 +1,582 @@
+"""Extended query registry: relational breadth (TPC-H Q4/Q7/Q14/Q19/
+Q22 shapes, rollup / grouping sets, statistical aggregates, full-outer
+and semi joins), array/regexp/date-bucket scalar surface, and the
+remaining north-star dedup/similarity entries (word-shingle Jaccard,
+embedding cosine near-dup pairs, LSH-bucketed approximate top-k).
+
+Same determinism rules as queries.py: rounded doubles, total-order
+tiebreaks, aliases matching the oracle exactly. Merged into
+``queries.REGISTRY`` (the driver-facing surface) at import time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from kaggle_ecommerce_etl_spark.queries import _t as _base_t
+
+    return _base_t(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# TPC-H shapes (adapted to the driver's slimmer star schema)
+# --------------------------------------------------------------------------
+
+def q_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS decorrelated to a left-semi join with a
+    non-equi conjunct. The semi join shuffles on l_orderkey only; the
+    date predicate stays in the join condition (no pre-materialize)."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_EXISTS_LATE = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: 5-way join with a nation-pair disjunction and a
+    per-year rollup. Both nation joins broadcast (25 rows); only the
+    lineitem⋈orders and ⋈customer shuffles remain."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    n1 = nat.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nat.select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+    )
+    pair_ok = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair_ok)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+ORACLE_NATION_PAIRS = """
+SELECT supp_nation, cust_nation, l_year,
+       round(sum(volume), 2) AS revenue
+FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             l_extendedprice * (1 - l_discount) AS volume
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+         OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: conditional aggregate ratio over a broadcast
+    join (part is a small dim → broadcast; zero shuffle for the join)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", disc).otherwise(0.0))
+                / F.sum(disc),
+                4,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+ORACLE_PROMO = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+  AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides. Catalyst
+    pushes the common conjuncts below the broadcast join and keeps the
+    disjunction as the join filter."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    c1 = (
+        (F.col("p_brand") == "Brand#1")
+        & (F.col("p_size") <= 10)
+        & (F.col("l_quantity") >= 1)
+        & (F.col("l_quantity") <= 11)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#2")
+        & (F.col("p_size") <= 20)
+        & (F.col("l_quantity") >= 10)
+        & (F.col("l_quantity") <= 20)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#3")
+        & (F.col("p_size") <= 30)
+        & (F.col("l_quantity") >= 20)
+        & (F.col("l_quantity") <= 30)
+    )
+    return j.filter(c1 | c2 | c3).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+ORACLE_DISJUNCTIVE = """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size <= 20 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size <= 30 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def q_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global avg as a broadcast
+    1-row cross join) + NOT EXISTS (left-anti join on o_custkey,
+    restricted to pending orders so the anti side is non-empty)."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("__avg_bal")
+    )
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("__avg_bal"))
+        .join(
+            orders.filter(F.col("o_orderstatus") == "P"),
+            cust.c_custkey == orders.o_custkey,
+            "left_anti",
+        )
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+ORACLE_NO_ORDERS = """
+SELECT c_nationkey, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+GROUP BY c_nationkey
+ORDER BY c_nationkey
+"""
+
+
+# --------------------------------------------------------------------------
+# grouping breadth: rollup, grouping sets, full-outer, semi join
+# --------------------------------------------------------------------------
+
+def q_rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy (priority → status → grand total) in one
+    shuffle — Spark expands grouping sets map-side."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderpriority").asc_nulls_first(),
+            F.col("o_orderstatus").asc_nulls_first(),
+        )
+    )
+
+
+ORACLE_ROLLUP = """
+SELECT o_orderpriority, o_orderstatus,
+       round(sum(o_totalprice), 2) AS total_price, count(*) AS n_orders
+FROM orders
+GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+ORDER BY o_orderpriority NULLS FIRST, o_orderstatus NULLS FIRST
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via the SQL frontend (engine supports
+    spark.sql over registered views, same Catalyst plan as the API)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__ext_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_lines
+        FROM __ext_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+        """
+    )
+
+
+ORACLE_GROUPING_SETS = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty, count(*) AS n_lines
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
+"""
+
+
+def q_full_outer_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join of two pre-aggregated sides (aggregate-then-join:
+    shuffles 25-row aggregates, not base tables)."""
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    c = (
+        cust.filter(F.col("c_mktsegment") == "BUILDING")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("__nc"))
+    )
+    s = supp.groupBy("s_nationkey").agg(F.count(F.lit(1)).alias("__ns"))
+    return (
+        c.join(s, c.c_nationkey == s.s_nationkey, "full_outer")
+        .select(
+            F.coalesce("c_nationkey", "s_nationkey").alias("nationkey"),
+            F.coalesce("__nc", F.lit(0)).alias("n_building_cust"),
+            F.coalesce("__ns", F.lit(0)).alias("n_suppliers"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+ORACLE_FULL_OUTER = """
+SELECT coalesce(c.c_nationkey, s.s_nationkey) AS nationkey,
+       coalesce(nc, 0) AS n_building_cust,
+       coalesce(ns, 0) AS n_suppliers
+FROM (SELECT c_nationkey, count(*) AS nc FROM customer
+      WHERE c_mktsegment = 'BUILDING' GROUP BY c_nationkey) c
+FULL OUTER JOIN (SELECT s_nationkey, count(*) AS ns
+                 FROM supplier GROUP BY s_nationkey) s
+  ON c.c_nationkey = s.s_nationkey
+ORDER BY nationkey
+"""
+
+
+def q_semi_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join: customers with ≥1 fulfilled order — dedup-free
+    existence check, shuffle carries keys only."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(
+        orders.filter(F.col("o_orderstatus") == "F"),
+        cust.c_custkey == F.col("o_custkey"),
+        "left_semi",
+    ).select("c_custkey", "c_name", "c_mktsegment")
+
+
+ORACLE_SEMI = """
+SELECT c_custkey, c_name, c_mktsegment
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+"""
+
+
+# --------------------------------------------------------------------------
+# statistical aggregates
+# --------------------------------------------------------------------------
+
+def q_quantile_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ≡
+    DuckDB `quantile_cont`); approx_percentile is the 100 TB variant."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.expr("percentile(l_quantity, 0.25)"), 4).alias("q25"),
+            F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("median"),
+            F.round(F.expr("percentile(l_quantity, 0.75)"), 4).alias("q75"),
+            F.round(F.min("l_quantity"), 2).alias("min_qty"),
+            F.round(F.max("l_quantity"), 2).alias("max_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_QUANTILE = """
+SELECT l_returnflag,
+       round(quantile_cont(l_quantity, 0.25), 4) AS q25,
+       round(quantile_cont(l_quantity, 0.5), 4) AS median,
+       round(quantile_cont(l_quantity, 0.75), 4) AS q75,
+       round(min(l_quantity), 2) AS min_qty,
+       round(max(l_quantity), 2) AS max_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_corr_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlation / covariance / stddev per group — single-pass
+    moment aggregates (map-side partials, one shuffle)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("covar_qty_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("stddev_price"),
+            F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_CORR = """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+       round(covar_samp(l_quantity, l_extendedprice), 2) AS covar_qty_price,
+       round(stddev_samp(l_extendedprice), 2) AS stddev_price,
+       round(var_samp(l_quantity), 4) AS var_qty
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# scalar surface: arrays, regexp, temporal bucketing
+# --------------------------------------------------------------------------
+
+def q_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function surface over the embedding column: size / sort /
+    slice / fold / max — all JVM-side higher-order functions."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    low8 = F.slice(F.sort_array(v), 1, 8)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n_dims"),
+        F.round(
+            F.aggregate(low8, F.lit(0.0), lambda acc, x: acc + x), 4
+        ).alias("sum_low8"),
+        F.round(F.array_max(v), 6).alias("max_val"),
+        F.round(F.array_min(v), 6).alias("min_val"),
+    )
+
+
+ORACLE_ARRAY_FUNCS = """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT vec_id, len(v) AS n_dims,
+       round(list_sum(list_sort(v)[1:8]), 4) AS sum_low8,
+       round(list_max(v), 6) AS max_val,
+       round(list_min(v), 6) AS min_val
+FROM t
+"""
+
+
+def q_regexp_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regexp surface: extract-all + higher-order filter + digit strip,
+    all whole-stage-codegen expressions."""
+    d = _t(spark, sf_dir, "documents")
+    words = F.expr("regexp_extract_all(text, '[a-zA-Z]+', 0)")
+    return d.select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.size(F.filter(words, lambda w: F.length(w) >= 5)).alias("n_long_words"),
+        F.length(F.regexp_replace(F.col("text"), "[^0-9]", "")).alias("n_digits"),
+    )
+
+
+ORACLE_REGEXP_STATS = """
+SELECT doc_id,
+       len(regexp_extract_all(text, '[a-zA-Z]+')) AS n_words,
+       len(list_filter(regexp_extract_all(text, '[a-zA-Z]+'),
+                       w -> length(w) >= 5)) AS n_long_words,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digits
+FROM documents
+"""
+
+
+def q_date_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal bucketing: ISO-week + month truncation aggregates over
+    the event stream table."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.date_trunc("week", F.col("ts")).alias("week_start"),
+            F.date_trunc("month", F.col("ts")).alias("month_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .orderBy("week_start")
+    )
+
+
+ORACLE_DATE_BUCKETS = """
+SELECT date_trunc('week', ts) AS week_start,
+       date_trunc('month', ts) AS month_start,
+       count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY week_start
+"""
+
+
+# --------------------------------------------------------------------------
+# north-star: shingle Jaccard, embedding near-dup, LSH-bucketed ANN
+# --------------------------------------------------------------------------
+
+def q_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram shingle Jaccard near-dup pairs, blocked by source —
+    the stricter order-sensitive cousin of word-set Jaccard. Inverted-
+    index join: shuffle ∝ posting-list sizes, never n²."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"),
+        block_col="source",
+        threshold=0.5,
+        use_shingles=True,
+    )
+
+
+ORACLE_SHINGLE_JACCARD = """
+WITH t AS (SELECT doc_id, source,
+                  string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+s AS (SELECT doc_id, source,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t)-1, 2))]) AS sh
+      FROM t),
+e AS (SELECT doc_id, source, len(sh) AS sz, unnest(sh) AS tok FROM s),
+j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2,
+             count(*) AS inter
+      FROM e a JOIN e b ON a.tok = b.tok AND a.source = b.source
+                        AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+SELECT id1, id2,
+       round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) AS jaccard
+FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.5
+"""
+
+
+def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs above a threshold. Brute-force
+    pairwise here (correctness baseline); `ann_lsh_topk` is the
+    bucketed 100 TB path for the same column."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("__v1"))
+    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("__v2"))
+    return (
+        a.join(b, F.col("id1") < F.col("id2"))
+        .withColumn(
+            "sim", F.round(cosine_expr(F.col("__v1"), F.col("__v2")), 6)
+        )
+        .filter(F.col("sim") >= 0.4)
+        .select("id1", "id2", "sim")
+    )
+
+
+ORACLE_EMB_NEARDUP = """
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id1, b.vec_id AS id2,
+       round(list_cosine_similarity(a.v, b.v), 6) AS sim
+FROM t a JOIN t b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
+"""
+
+
+def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH buckets + exact
+    re-rank inside the bucket. Seed-derived hyperplanes live in the
+    plan as literals; the join is an equi-join on the bucket id (hash-
+    partitioned — the scale path where brute force is n²). No SQL
+    oracle (bucket assignment depends on the driver-side PRNG);
+    recall-vs-bruteforce is asserted in tests/test_queries_ext.py."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import lsh_bucket_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_bucket_topk(
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_planes=4, n_tables=8
+    )
+
+
+#: merged into queries.REGISTRY
+EXT_REGISTRY = {
+    "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
+    "nation_volume_pairs": (q_nation_volume_pairs, ORACLE_NATION_PAIRS),
+    "promo_revenue": (q_promo_revenue, ORACLE_PROMO),
+    "disjunctive_revenue": (q_disjunctive_revenue, ORACLE_DISJUNCTIVE),
+    "customers_no_orders": (q_customers_no_orders, ORACLE_NO_ORDERS),
+    "rollup_sales": (q_rollup_sales, ORACLE_ROLLUP),
+    "grouping_sets": (q_grouping_sets, ORACLE_GROUPING_SETS),
+    "full_outer_nation": (q_full_outer_nation, ORACLE_FULL_OUTER),
+    "semi_join_customers": (q_semi_join_customers, ORACLE_SEMI),
+    "quantile_stats": (q_quantile_stats, ORACLE_QUANTILE),
+    "corr_stats": (q_corr_stats, ORACLE_CORR),
+    "array_funcs": (q_array_funcs, ORACLE_ARRAY_FUNCS),
+    "regexp_stats": (q_regexp_stats, ORACLE_REGEXP_STATS),
+    "date_buckets": (q_date_buckets, ORACLE_DATE_BUCKETS),
+    "shingle_jaccard_pairs": (q_shingle_jaccard_pairs, ORACLE_SHINGLE_JACCARD),
+    "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMB_NEARDUP),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
+}

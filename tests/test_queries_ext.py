@@ -1,0 +1,97 @@
+"""Tests for the extended query registry (queries_ext.py).
+
+Value-level parity vs DuckDB is covered by scripts/check_oracle.py and
+the driver's t2 gate; these tests assert structural invariants and the
+properties the oracle can't see (LSH recall vs brute force).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark import queries_ext as qx
+from kaggle_ecommerce_etl_spark.queries import REGISTRY
+
+
+def test_ext_registry_merged():
+    for name in qx.EXT_REGISTRY:
+        assert name in REGISTRY
+
+
+def test_rollup_includes_grand_total(spark, sf_dir):
+    rows = qx.q_rollup_sales(spark, sf_dir).collect()
+    grand = [r for r in rows if r.o_orderpriority is None and r.o_orderstatus is None]
+    assert len(grand) == 1
+    n_total = sum(
+        r.n_orders
+        for r in rows
+        if r.o_orderpriority is not None and r.o_orderstatus is not None
+    )
+    assert grand[0].n_orders == n_total
+
+
+def test_full_outer_covers_both_sides(spark, sf_dir):
+    df = qx.q_full_outer_nation(spark, sf_dir)
+    rows = df.collect()
+    assert all(r.nationkey is not None for r in rows)
+    # full outer must retain supplier-only nations (count 0 customers ok)
+    assert len(rows) >= 1
+
+
+def test_semi_join_is_distinct_customers(spark, sf_dir):
+    df = qx.q_semi_join_customers(spark, sf_dir)
+    assert df.count() == df.select("c_custkey").distinct().count()
+
+
+def test_quantile_stats_ordered(spark, sf_dir):
+    for r in qx.q_quantile_stats(spark, sf_dir).collect():
+        assert r.min_qty <= r.q25 <= r.median <= r.q75 <= r.max_qty
+
+
+def test_embedding_neardup_symmetric_free(spark, sf_dir):
+    rows = qx.q_embedding_neardup_pairs(spark, sf_dir).collect()
+    assert all(r.id1 < r.id2 for r in rows)
+    assert all(-1.0 <= r.sim <= 1.0 for r in rows)
+
+
+def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
+    """Bucketed ANN must recover a decent fraction of the exact top-5
+    (4 hyperplanes → 16 buckets over 500 vectors)."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in qx.q_ann_lsh_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+
+
+def test_ann_lsh_rank_contract(spark, sf_dir):
+    df = qx.q_ann_lsh_topk(spark, sf_dir)
+    rows = df.collect()
+    assert set(df.columns) == {"query_id", "neighbor_id", "sim", "rank"}
+    per_q: dict[int, list[int]] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1)), q
+
+
+def test_exists_late_orders_counts_positive(spark, sf_dir):
+    rows = qx.q_exists_late_orders(spark, sf_dir).collect()
+    assert rows and all(r.order_count > 0 for r in rows)
+
+
+@pytest.mark.parametrize("name", sorted(qx.EXT_REGISTRY))
+def test_ext_query_schema_stable(spark, sf_dir, name):
+    fn, _oracle = qx.EXT_REGISTRY[name]
+    df = fn(spark, sf_dir)
+    assert df.columns == fn(spark, sf_dir).columns
