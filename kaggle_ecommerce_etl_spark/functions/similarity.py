@@ -121,45 +121,46 @@ def lsh_bucket_topk(
     cross-joined.
 
     ``n_tables`` > 1 enables OR-amplification: independent hyperplane
-    sets, one bucket column each; a pair is a candidate if it collides
-    in ANY table. Recall for a pair at angular similarity p is
-    1-(1-p^b)^T instead of p^b — the standard recall/cost dial. Each
-    table is still a bucket equi-join; candidates are unioned and
-    deduped before the (exact) re-rank, so each pair is scored once.
+    sets; a pair is a candidate if it collides in ANY table. Recall for
+    a pair at per-plane collision probability p is 1-(1-p^b)^T instead
+    of p^b — the standard recall/cost dial.
+
+    Physical shape (the 100 TB path): each side computes ALL table
+    buckets in ONE projection, then explodes to (table, bucket) rows —
+    the plane dot products run once per input row, not once per table.
+    A single equi-join on (table, bucket) replaces T separate joins
+    (one shuffle; per-bucket skew handled by AQE skew-join). Candidates
+    are deduped before the exact re-rank, so each pair is scored once.
     """
     tables = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
+
+    def _bucketed(df: DataFrame, out_id: str) -> DataFrame:
+        all_buckets = F.array(
+            *[bucket_expr(F.col(vec_col), planes) for planes in tables]
+        )
+        return df.select(
+            F.col(id_col).alias(out_id),
+            F.posexplode(all_buckets).alias("__table", "__bucket"),
+        )
+
     q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        *[
-            bucket_expr(F.col(vec_col), planes).alias(f"__bucket{t}")
-            for t, planes in enumerate(tables)
-        ],
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("__qv")
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        *[
-            bucket_expr(F.col(vec_col), planes).alias(f"__bucket{t}")
-            for t, planes in enumerate(tables)
-        ],
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("__cv")
     )
-    qb = F.broadcast(q)
-    cand = None
-    for t in range(n_tables):
-        pairs_t = (
-            c.select("neighbor_id", f"__bucket{t}")
-            .join(qb.select("query_id", f"__bucket{t}"), on=f"__bucket{t}")
-            .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id")
-        )
-        cand = pairs_t if cand is None else cand.unionByName(pairs_t)
-    cand = cand.dropDuplicates(["query_id", "neighbor_id"])
+    cand = (
+        _bucketed(corpus, "neighbor_id")
+        .join(F.broadcast(_bucketed(queries, "query_id")), on=["__table", "__bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
     scored = (
-        cand.join(qb.select("query_id", "__qv"), on="query_id")
-        .join(c.select("neighbor_id", "__cv"), on="neighbor_id")
+        cand.join(F.broadcast(q), on="query_id")
+        .join(c, on="neighbor_id")
         .withColumn("sim", F.round(cosine_expr(F.col("__qv"), F.col("__cv")), 6))
     )
     w = Window.partitionBy("query_id").orderBy(

@@ -560,6 +560,150 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------------------------------
+# training-pipeline staples: latest-version dedup, tf-idf, corpus stats,
+# deterministic sampling
+# --------------------------------------------------------------------------
+
+def q_latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the newest record per key (CDC/compaction staple): one
+    window over one hash partitioning on the key; total-order tiebreak
+    on event_id makes it deterministic under concurrent timestamps."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        ev.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+ORACLE_LATEST_PER_KEY = """
+SELECT user_id, event_id, ts, event_type
+FROM (SELECT user_id, event_id, ts, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+WHERE rn = 1
+"""
+
+
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document: term frequency from one explode
+    + count, document frequency from a second agg over the same
+    exploded frame (Catalyst reuses the shuffle), idf joined back on
+    the term (broadcast — vocab ≪ corpus)."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import tokens_ws
+    from pyspark.sql.window import Window
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens_ws(F.col("text"))).alias("term")
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = toks.distinct().groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf") * F.log(F.col("__n") / F.col("df")), 4
+            ),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+ORACLE_TFIDF = """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  FROM documents
+),
+tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
+       WHERE term <> '' GROUP BY doc_id, term),
+dfreq AS (SELECT term, count(DISTINCT doc_id) AS df FROM toks
+          WHERE term <> '' GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         round(tf.tf * ln(CAST(n_docs AS DOUBLE) / df), 4) AS tfidf
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+r AS (SELECT doc_id, term, tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rank
+      FROM scored)
+SELECT doc_id, term, tfidf, CAST(rank AS INT) AS rank FROM r WHERE rank <= 3
+"""
+
+
+def q_bigram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram document frequency, top-20: per-doc distinct word
+    bigrams (order-sensitive n-grams) → explode → count → bounded
+    top-k. The explode+count is map-side-combined; top-k is
+    TakeOrdered, no global sort."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import shingles_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(shingles_expr(F.col("text"), n=2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+ORACLE_BIGRAM_DF = """
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+s AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+1], ' ')
+                            for i in range(1, greatest(len(t), 2))]) AS sh
+      FROM t),
+e AS (SELECT unnest(sh) AS bigram FROM s)
+SELECT bigram, count(*) AS n_docs
+FROM e GROUP BY 1 ORDER BY n_docs DESC, bigram LIMIT 20
+"""
+
+
+def q_hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% sample by key hash (md5-derived bucket) —
+    reproducible train/eval splits with no sampling state; the filter
+    is a pure expression evaluated at scan time."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(10),
+    )
+    return d.filter(bucket == 0).select("doc_id", "lang", "source", "n_chars")
+
+
+ORACLE_HASH_SAMPLE = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10 = 0
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -579,4 +723,8 @@ EXT_REGISTRY = {
     "shingle_jaccard_pairs": (q_shingle_jaccard_pairs, ORACLE_SHINGLE_JACCARD),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMB_NEARDUP),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "latest_per_key": (q_latest_per_key, ORACLE_LATEST_PER_KEY),
+    "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
+    "bigram_doc_freq": (q_bigram_doc_freq, ORACLE_BIGRAM_DF),
+    "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
 }
