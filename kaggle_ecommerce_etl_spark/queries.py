@@ -1122,9 +1122,16 @@ FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.8
 
 
 def q_embedding_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup: nearest neighbor (top-1 cosine) per vector."""
-    emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb, emb, k=1)
+    """Embedding near-dup: nearest neighbor (top-1 cosine) per vector.
+    All-pairs workload → blocked-matmul path (no pair-row
+    materialization; see cosine_topk_matmul)."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        cosine_topk_matmul,
+    )
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
+    emb = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
+    return cosine_topk_matmul(emb, emb, k=1)
 
 
 ORACLE_EMB_NEAREST = """

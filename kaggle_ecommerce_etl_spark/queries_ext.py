@@ -521,7 +521,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold. Brute-force
     pairwise here (correctness baseline); `ann_lsh_topk` is the
     bucketed 100 TB path for the same column."""
-    from kaggle_ecommerce_etl_spark.functions.similarity import cosine_expr
+    from kaggle_ecommerce_etl_spark.functions.similarity import cosine_udf
 
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("__v1"))
@@ -529,7 +529,7 @@ def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, F.col("id1") < F.col("id2"))
         .withColumn(
-            "sim", F.round(cosine_expr(F.col("__v1"), F.col("__v2")), 6)
+            "sim", F.round(cosine_udf()(F.col("__v1"), F.col("__v2")), 6)
         )
         .filter(F.col("sim") >= 0.4)
         .select("id1", "id2", "sim")
