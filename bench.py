@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from kaggle_ecommerce_etl_spark.queries import REGISTRY
@@ -53,7 +55,21 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("bench")
-    spark.range(10).count()  # JVM warmup, not timed
+    # warmup, not timed: JVM/codegen, parquet footers, Arrow Python
+    # workers — one-time process costs, not per-query engine cost
+    spark.range(10).count()
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.pandas.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _warm(x: pd.Series) -> pd.Series:
+        return x * 1.0
+
+    # 64 partitions so every executor thread spawns its Arrow worker
+    spark.range(0, 256, 1, 64).select(
+        _warm(F.col("id").cast("double"))
+    ).count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

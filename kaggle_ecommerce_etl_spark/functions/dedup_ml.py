@@ -149,6 +149,9 @@ def ngram_jaccard_pairs(
         if use_shingles
         else F.array_distinct(tokens_ws(qcol(text_col)))
     )
+    # tokenization is CPU-bound; single-file parquet arrives as one
+    # partition → force parallelism before the explode
+    df = ensure_min_partitions(df)
     base = df.select(
         qcol(id_col).alias("__id"),
         *( [qcol(block_col).alias("__blk")] if block_col else [] ),

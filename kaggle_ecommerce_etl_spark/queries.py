@@ -734,8 +734,14 @@ FROM base
 
 
 def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 neighbors for a small query set — blocked-matmul
+    path (cosine_topk is the join-formulated equivalent)."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        cosine_topk_matmul,
+    )
+
     emb = _t(spark, sf_dir, "embeddings")
-    return cosine_topk(emb.filter(F.col("vec_id") < 5), emb, k=5)
+    return cosine_topk_matmul(emb.filter(F.col("vec_id") < 5), emb, k=5)
 
 
 ORACLE_COSINE_TOPK = """
