@@ -55,18 +55,34 @@ def _h64(seed: int, value: Column) -> Column:
     return F.conv(hexpart, 16, 10).cast("long")
 
 
-def _seeded_hash_fn(seed: int):
+# Affine rehash family over ONE base md5 per shingle: mh_i =
+# (A_i·x + B_i) mod P with x < 2^32 and A_i < 2^29, so A_i·x + B_i
+# < 2^61 never overflows a signed 64-bit long in either Spark or
+# DuckDB (which errors, not wraps, on BIGINT overflow). 8× fewer md5
+# calls than one seeded digest per signature component.
+MH_P = (1 << 61) - 1
+MH_A = [536870909, 433494437, 268435399, 190979711, 122949829, 86028157, 53687090, 28657333]
+MH_B = [15485863, 32452843, 49979687, 67867967, 86028121, 104395301, 122949823, 141650939]
+
+
+def _affine_fn(i: int):
     # single-arg lambda: a 2-arg lambda would make F.transform pass the
     # ARRAY INDEX as the second argument, silently corrupting the seed
-    return lambda s: _h64(seed, s)
+    a, b = MH_A[i], MH_B[i]
+    return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MH_P)
 
 
 def minhash_signature_exprs(col: Column, k: int = N_MINHASH) -> list[Column]:
     """k minhash values as separate columns mh0..mh{k-1}; one pass,
-    no shuffle."""
-    sh = shingles_expr(col)
+    no shuffle, one md5 per shingle (k cheap affine rehashes)."""
+    bases = F.transform(
+        shingles_expr(col),
+        lambda s: F.conv(
+            F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
+        ).cast("long"),
+    )
     return [
-        F.array_min(F.transform(sh, _seeded_hash_fn(i))).alias(f"mh{i}")
+        F.array_min(F.transform(bases, _affine_fn(i))).alias(f"mh{i}")
         for i in range(k)
     ]
 

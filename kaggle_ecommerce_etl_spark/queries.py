@@ -1025,9 +1025,11 @@ s AS (SELECT doc_id,
 
 
 def _mh_sql(i: int) -> str:
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import MH_A, MH_B, MH_P
+
     return (
-        f"list_min([(('0x' || substr(md5('{i}:' || x), 1, 8))::BIGINT) "
-        f"for x in sh]) AS mh{i}"
+        f"list_min([(({MH_A[i]} * (('0x' || substr(md5(x), 1, 8))::BIGINT)"
+        f" + {MH_B[i]}) % {MH_P}) for x in sh]) AS mh{i}"
     )
 
 
