@@ -104,63 +104,174 @@ def cosine_topk(
     )
 
 
+#: rows of the query side held on the driver at once. Caps BOTH driver
+#: memory (one chunk of vectors) and the per-executor-batch sims matrix
+#: (chunk × arrow-batch doubles: 4096 × 10 000 × 8 B ≈ 330 MB).
+QUERY_CHUNK_ROWS = 4096
+
+
+def _query_chunks(
+    queries: DataFrame, id_col: str, vec_col: str, chunk_rows: int
+):
+    """Stream the query side to the driver in bounded chunks.
+
+    ``toLocalIterator`` materializes ONE partition at a time on the
+    driver — driver memory stays O(chunk), never O(|queries|). Yields
+    (ids int64 array, L2-normalized float64 matrix)."""
+    ids: list = []
+    vecs: list = []
+    for row in queries.select(id_col, vec_col).toLocalIterator(
+        prefetchPartitions=True
+    ):
+        ids.append(row[0])
+        vecs.append(row[1])
+        if len(ids) >= chunk_rows:
+            yield ids, vecs
+            ids, vecs = [], []
+    if ids:
+        yield ids, vecs
+
+
+def _normalized(ids: list, vecs: list) -> tuple[np.ndarray, np.ndarray]:
+    q_ids = np.asarray(ids, dtype=np.int64)
+    qmat = np.asarray(vecs, dtype=np.float64)
+    qmat /= np.linalg.norm(qmat, axis=1, keepdims=True)
+    return q_ids, qmat
+
+
 def cosine_topk_matmul(
     queries: DataFrame,
     corpus: DataFrame,
     k: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    chunk_rows: int = QUERY_CHUNK_ROWS,
 ) -> DataFrame:
-    """Exact top-k via blocked matmul: the corpus is collected once,
-    L2-normalized, and broadcast as a dense matrix; each query
-    partition computes Q_block @ Cᵀ in numpy and emits its own top-k.
+    """Exact top-k via blocked matmul, corpus fully distributed.
 
-    vs the join formulation (:func:`cosine_topk`): no |Q|×|C| row
-    materialization, no Arrow transfer of pair rows — the cross
-    product lives only as a numpy block. Contract: the corpus matrix
-    must fit in executor memory (dim 64 → ~0.5 GB per 10⁶ vectors);
-    beyond that, chunk the corpus and union per-chunk top-k, or use
-    :func:`lsh_bucket_topk`. Output/determinism identical to
-    :func:`cosine_topk`: sim rounded to 6 BEFORE ranking, ties by
-    neighbor_id, self-matches excluded.
+    Shape (the 100 TB-corpus path): the QUERY side — the contractually
+    small side — is streamed to the driver in bounded chunks and
+    broadcast; the corpus is scanned ONCE per chunk with
+    ``mapInPandas``, each Arrow batch computing Qᵀ-block @ C-batch in
+    numpy and emitting only its per-query top-k candidates (≤ |Q|·k
+    rows per batch). A final window re-rank merges the partial top-ks.
+    The corpus is never collected, never broadcast, and no |Q|×|C|
+    pair rows ever materialize — the cross product lives only inside
+    the numpy block.
+
+    Contract: the QUERY side fits on the driver in chunks (its chunks
+    are re-broadcast per corpus pass, so a huge query side means
+    |Q|/chunk_rows corpus scans — use :func:`lsh_bucket_topk` there).
+    Output/determinism identical to :func:`cosine_topk`: sim rounded
+    to 6 BEFORE ranking, ties by neighbor_id, self-matches excluded.
     """
-    corpus_pd = corpus.select(id_col, vec_col).toPandas()
-    c_ids = corpus_pd[id_col].to_numpy(dtype=np.int64)
-    cmat = np.asarray(corpus_pd[vec_col].tolist(), dtype=np.float64)
-    cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
-    bc = queries.sparkSession.sparkContext.broadcast((c_ids, cmat))
+    spark = corpus.sparkSession
+    sc = spark.sparkContext
+    c = corpus.select(id_col, vec_col)
+    schema = "query_id long, neighbor_id long, sim double"
 
-    def _topk(batches):
-        ids, cn = bc.value
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            q = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
-            q /= np.linalg.norm(q, axis=1, keepdims=True)
-            sims = np.round(q @ cn.T, 6)  # round BEFORE rank (oracle parity)
-            qids = pdf[id_col].to_numpy(dtype=np.int64)
-            out_q, out_n, out_s, out_r = [], [], [], []
-            for i in range(len(qids)):
-                s = sims[i].copy()
-                s[ids == qids[i]] = -np.inf  # exclude self
-                order = np.lexsort((ids, -s))[:k]
-                order = order[np.isfinite(s[order])]
-                out_q.extend([qids[i]] * len(order))
-                out_n.extend(ids[order])
-                out_s.extend(s[order])
-                out_r.extend(range(1, len(order) + 1))
-            yield pd.DataFrame(
-                {
-                    "query_id": np.asarray(out_q, dtype=np.int64),
-                    "neighbor_id": np.asarray(out_n, dtype=np.int64),
-                    "sim": np.asarray(out_s, dtype=np.float64),
-                    "rank": np.asarray(out_r, dtype=np.int32),
-                }
-            )
+    partials: list[DataFrame] = []
+    for ids, vecs in _query_chunks(queries, id_col, vec_col, chunk_rows):
+        bc = sc.broadcast(_normalized(ids, vecs))
 
-    return queries.select(id_col, vec_col).mapInPandas(
-        _topk, "query_id long, neighbor_id long, sim double, rank int"
+        def _partial_topk(batches, _bc=bc):
+            qids, qn = _bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cmat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+                cids = pdf[id_col].to_numpy(dtype=np.int64)
+                # round BEFORE rank (oracle parity)
+                sims = np.round(qn @ cmat.T, 6)
+                sims[qids[:, None] == cids[None, :]] = -np.inf  # self
+                # per-row sort by (-sim, neighbor_id): lexsort the batch
+                order = np.lexsort(
+                    (np.broadcast_to(cids, sims.shape), -sims), axis=-1
+                )[:, : min(k, sims.shape[1])]
+                top_s = np.take_along_axis(sims, order, axis=1)
+                keep = np.isfinite(top_s)
+                n_per_q = keep.sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, n_per_q),
+                        "neighbor_id": cids[order][keep],
+                        "sim": top_s[keep],
+                    }
+                )
+
+        partials.append(c.mapInPandas(_partial_topk, schema))
+
+    if not partials:
+        empty = spark.createDataFrame([], schema + ", rank int")
+        return empty
+    partial = partials[0]
+    for p in partials[1:]:
+        partial = partial.unionByName(p)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
     )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
+
+
+def cosine_pairs_above(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    chunk_rows: int = QUERY_CHUNK_ROWS,
+) -> DataFrame:
+    """EXACT all-pairs (id1 < id2) with cosine ≥ threshold — blocked
+    matmul, no cross join in the plan.
+
+    Same physical shape as :func:`cosine_topk_matmul`: one side
+    streamed in bounded driver chunks + broadcast, the other scanned
+    distributed; each (chunk × Arrow batch) block scores in one numpy
+    matmul and emits only the (qid < cid, sim ≥ threshold) survivors.
+    Every unordered pair is seen exactly once under qid < cid because
+    the chunk loop covers all rows on the query side. Exact — unlike
+    an LSH prefilter there is no recall loss, so results match the
+    brute-force SQL oracle bit-for-bit; the O(n²/block) work runs
+    vectorized inside numpy instead of materializing pair rows.
+    For corpora where even blocked n² is too much, the recall-trading
+    path is :func:`lsh_bucket_topk` / minhash banding.
+    """
+    sc = df.sparkSession.sparkContext
+    side = df.select(id_col, vec_col)
+    schema = "id1 long, id2 long, sim double"
+
+    partials: list[DataFrame] = []
+    for ids, vecs in _query_chunks(df, id_col, vec_col, chunk_rows):
+        bc = sc.broadcast(_normalized(ids, vecs))
+
+        def _pairs(batches, _bc=bc):
+            qids, qn = _bc.value
+            for pdf in batches:
+                if len(pdf) == 0:
+                    continue
+                cmat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+                cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
+                cids = pdf[id_col].to_numpy(dtype=np.int64)
+                sims = np.round(qn @ cmat.T, 6)  # round BEFORE threshold
+                mask = (sims >= threshold) & (qids[:, None] < cids[None, :])
+                ii, jj = np.nonzero(mask)
+                yield pd.DataFrame(
+                    {"id1": qids[ii], "id2": cids[jj], "sim": sims[ii, jj]}
+                )
+
+        partials.append(side.mapInPandas(_pairs, schema))
+
+    if not partials:
+        return df.sparkSession.createDataFrame([], schema)
+    out = partials[0]
+    for p in partials[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:

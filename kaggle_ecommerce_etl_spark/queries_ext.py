@@ -518,22 +518,14 @@ FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.5
 
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs above a threshold. Brute-force
-    pairwise here (correctness baseline); `ann_lsh_topk` is the
-    bucketed 100 TB path for the same column."""
-    from kaggle_ecommerce_etl_spark.functions.similarity import cosine_udf
+    """Embedding-cosine near-dup pairs above a threshold. Exact blocked
+    matmul (no cross join in the plan — see cosine_pairs_above);
+    `ann_lsh_topk` is the recall-trading bucketed path for corpora
+    where even blocked n² is too much."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import cosine_pairs_above
 
     emb = _t(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("id1"), F.col("embedding").alias("__v1"))
-    b = emb.select(F.col("vec_id").alias("id2"), F.col("embedding").alias("__v2"))
-    return (
-        a.join(b, F.col("id1") < F.col("id2"))
-        .withColumn(
-            "sim", F.round(cosine_udf()(F.col("__v1"), F.col("__v2")), 6)
-        )
-        .filter(F.col("sim") >= 0.4)
-        .select("id1", "id2", "sim")
-    )
+    return cosine_pairs_above(emb, threshold=0.4)
 
 
 ORACLE_EMB_NEARDUP = """
