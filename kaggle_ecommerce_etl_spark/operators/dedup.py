@@ -47,10 +47,33 @@ def conflict_split(df: DataFrame, keys: Sequence[str]) -> tuple[DataFrame, DataF
 
 
 def upsert_anti_join(
-    incoming: DataFrame, existing: DataFrame, keys: Sequence[str]
+    incoming: DataFrame,
+    existing: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Rows of ``incoming`` whose key is NOT already in ``existing`` —
     the append set of an idempotent DO-NOTHING upsert (op 16).
-    Only the key columns of ``existing`` are read (column pruning)."""
+    Only the key columns of ``existing`` are read (column pruning).
+
+    ``ON CONFLICT DO NOTHING`` (reference pg.py:544-547) also keeps only
+    the FIRST row when ONE batch carries the same key twice (later
+    inserts of the batch hit the conflict), so the incoming side is
+    deduplicated per key here too. Pass ``order_by`` for a deterministic
+    "first" (ascending sort columns); without it an arbitrary row per
+    key survives (row order inside a distributed batch is not defined).
+    Both variants are one extra hash aggregate / window on the same
+    key partitioning the anti-join already shuffles on."""
+    if order_by:
+        w = Window.partitionBy(*[qcol(k) for k in keys]).orderBy(
+            *[qcol(c) for c in order_by]
+        )
+        incoming = (
+            incoming.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    else:
+        incoming = incoming.dropDuplicates(list(keys))
     existing_keys = existing.select(*keys).dropDuplicates()
     return incoming.join(existing_keys, on=list(keys), how="left_anti")

@@ -83,10 +83,13 @@ def write_upsert(
     existing: DataFrame,
     keys: Sequence[str],
     append_fn,
+    order_by: Sequence[str] | None = None,
 ) -> DataFrame:
     """Idempotent DO-NOTHING upsert: anti-join then append via
     ``append_fn(to_append)``. Returns the appended subset (for tests /
-    metrics). Re-running the same batch appends zero rows."""
-    to_append = upsert_anti_join(incoming, existing, keys)
+    metrics). Re-running the same batch appends zero rows; duplicate
+    keys WITHIN one batch keep one row (``order_by`` picks which —
+    see upsert_anti_join)."""
+    to_append = upsert_anti_join(incoming, existing, keys, order_by=order_by)
     append_fn(to_append)
     return to_append

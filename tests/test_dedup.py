@@ -66,4 +66,27 @@ def test_upsert_anti_join_pruning(spark):
     out = upsert_anti_join(incoming, existing, ["order_id", "date"])
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert "amount" not in plan.split("Join")[0] or True  # smoke: plan builds
-    assert out.count() == incoming.count() - 2
+    # 5 incoming rows → 4 unique keys (o3's exact dup collapses within-batch,
+    # matching ON CONFLICT) → minus the 2 keys already in existing = 2
+    assert out.count() == 2
+
+
+def test_upsert_within_batch_duplicate_keys(spark):
+    """ON CONFLICT DO NOTHING keeps exactly ONE row when a single batch
+    carries the same key twice (reference pg.py:544-547: the second
+    insert of the batch hits the conflict)."""
+    batch = spark.createDataFrame(
+        [
+            ("o1", "2022-01-01", 10.0),
+            ("o1", "2022-01-01", 99.0),  # same key, different payload
+            ("o2", "2022-01-01", 12.0),
+        ],
+        ["order_id", "date", "amount"],
+    )
+    empty = spark.createDataFrame([], batch.schema)
+    out = upsert_anti_join(batch, empty, ["order_id", "date"], order_by=["amount"])
+    rows = {(r.order_id, r.date): r.amount for r in out.collect()}
+    assert rows == {("o1", "2022-01-01"): 10.0, ("o2", "2022-01-01"): 12.0}
+    # without order_by: still exactly one row per key (arbitrary pick)
+    out2 = upsert_anti_join(batch, empty, ["order_id", "date"])
+    assert out2.count() == 2
