@@ -29,6 +29,14 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _round6(x: np.ndarray) -> np.ndarray:
+    """round-half-AWAY-FROM-ZERO to 6 decimals — matches Spark
+    ``F.round`` / DuckDB ``round`` (HALF_UP). ``np.round`` is
+    half-to-even, which can diverge from the SQL oracles on exact
+    .5 ties at the 6th decimal; this sign-aware floor form cannot."""
+    return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -115,9 +123,18 @@ def _query_chunks(
 ):
     """Stream the query side to the driver in bounded chunks.
 
-    ``toLocalIterator`` materializes ONE partition at a time on the
-    driver — driver memory stays O(chunk), never O(|queries|). Yields
-    (ids int64 array, L2-normalized float64 matrix)."""
+    ``toLocalIterator`` materializes ONE partition at a time, so the
+    PYTHON-side working set is O(chunk). NOTE: each chunk is then
+    ``sc.broadcast``-ed and every broadcast stays referenced by the
+    lazily-returned plan until it executes, so the driver BLOCK-MANAGER
+    footprint across chunks is O(|queries|) — the query side is
+    contractually small. A huge query side means |Q|/chunk_rows corpus
+    scans AND O(|Q|) broadcast bytes: use :func:`lsh_bucket_topk` or
+    :func:`cosine_self_topk_blocked` there (a warning fires past
+    ``_CHUNK_WARN_LIMIT`` chunks). Yields (ids, raw vec lists)."""
+    import warnings
+
+    n_chunks = 0
     ids: list = []
     vecs: list = []
     for row in queries.select(id_col, vec_col).toLocalIterator(
@@ -126,10 +143,24 @@ def _query_chunks(
         ids.append(row[0])
         vecs.append(row[1])
         if len(ids) >= chunk_rows:
+            n_chunks += 1
+            if n_chunks == _CHUNK_WARN_LIMIT:
+                warnings.warn(
+                    f"query side exceeds {_CHUNK_WARN_LIMIT} chunks of "
+                    f"{chunk_rows} rows; this path broadcasts O(|Q|) bytes "
+                    "and rescans the corpus per chunk — route through "
+                    "lsh_bucket_topk or cosine_self_topk_blocked instead",
+                    stacklevel=3,
+                )
             yield ids, vecs
             ids, vecs = [], []
     if ids:
         yield ids, vecs
+
+
+#: chunks of the query side after which _query_chunks warns that the
+#: "contractually small query side" contract is being stretched
+_CHUNK_WARN_LIMIT = 64
 
 
 def _normalized(ids: list, vecs: list) -> tuple[np.ndarray, np.ndarray]:

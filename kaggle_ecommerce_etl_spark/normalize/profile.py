@@ -123,6 +123,47 @@ def column_profile(df: DataFrame, string_cols: Sequence[str] | None = None) -> d
     return out
 
 
+def categorical_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Categorical half of ``describe(include='all')`` (op 19; reference
+    ecommerce_s3_to_pg.py:39-40): per column, the distinct-value count,
+    the modal value and its frequency. One row per profiled column:
+    ``(col_name, n_unique, top, top_freq)``.
+
+    Tiebreak: lexicographically smallest value among the max-frequency
+    ones (pandas' ``top`` pick is arbitrary; ours is total-ordered so
+    results are reproducible and oracle-checkable).
+
+    Scale: melts only the PROFILED columns (explode of a k-wide struct
+    array — k× row multiply of a k-column projection, not the full
+    table), then ONE shuffle on (col_name, value) with map-side combine;
+    the per-column top/unique reductions run on the already-aggregated
+    (col, value, cnt) set, which is small (≤ distinct values)."""
+    from pyspark.sql.window import Window
+
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"), qcol(c).cast("string").alias("value")
+            )
+            for c in cols
+        ]
+    )
+    long = (
+        df.select(F.explode(structs).alias("p"))
+        .select("p.col_name", "p.value")
+        .filter(F.col("value").isNotNull())
+    )
+    counts = long.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("value"))
+    top = (
+        counts.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select("col_name", F.col("value").alias("top"), F.col("cnt").alias("top_freq"))
+    )
+    uniq = counts.groupBy("col_name").agg(F.count(F.lit(1)).alias("n_unique"))
+    return uniq.join(top, "col_name")
+
+
 def drop_all_null_columns(df: DataFrame, profile: dict | None = None) -> DataFrame:
     """Drop columns whose values are all NULL (op 31). Data-dependent
     projection: needs a profile pass (reused if supplied)."""

@@ -10,6 +10,9 @@ part file."""
 from __future__ import annotations
 
 import datetime as _dt
+import glob as _glob
+import os as _os
+import shutil as _shutil
 
 from pyspark.sql import DataFrame
 
@@ -29,3 +32,18 @@ def write_csv(
 ) -> None:
     out = df.coalesce(1) if single_file else df
     out.write.option("header", True).mode(mode).csv(path)
+
+
+def write_csv_file(df: DataFrame, file_path: str) -> None:
+    """ONE exact CSV file at ``file_path`` — the reference's
+    one-object-per-table S3 put (pg.py:659-671). Spark writes
+    directories, so: single-partition write to a temp dir, then a
+    driver-side move of the part file. Local/NFS paths only (an object
+    store would use its own rename API); use :func:`write_csv` for the
+    scale path where each task writes its own part."""
+    tmp = file_path + ".__tmp__"
+    df.coalesce(1).write.option("header", True).mode("overwrite").csv(tmp)
+    part = _glob.glob(tmp + "/part-*.csv")[0]
+    _os.makedirs(_os.path.dirname(file_path) or ".", exist_ok=True)
+    _os.replace(part, file_path)
+    _shutil.rmtree(tmp, ignore_errors=True)
