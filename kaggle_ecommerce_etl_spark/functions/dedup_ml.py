@@ -103,31 +103,41 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Candidate pairs (id1 < id2) sharing at least one LSH band.
 
-    Bands are md5 keys over signature slices; pairs come from per-band
-    self-equi-joins unioned + de-duplicated. At scale each band join is
-    a hash-partitioned shuffle on the band key — no cross product.
+    Single-join shape (the 100 TB path, same as similarity.
+    lsh_bucket_topk): each signature explodes to n_bands (band, key)
+    rows — band keys computed ONCE per row in one projection — then ONE
+    self-equi-join on (band, key) + a distinct. Exactly two shuffles
+    total (join on the band key, distinct on the pair), versus the
+    naive n_bands separate self-joins + union + distinct. Per-bucket
+    skew (a degenerate band value) is handled by AQE skew-join; shuffle
+    volume stays ∝ Σ bucket sizes, never n².
     """
     n_bands = k // band_size
-    bands = signatures.select(
-        qcol(id_col).alias("__id"),
+    band_structs = F.array(
         *[
-            F.md5(
-                F.concat_ws(",", *[qcol(f"mh{b * band_size + j}") for j in range(band_size)]).cast("binary")
-            ).alias(f"band{b}")
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat_ws(
+                        ",",
+                        *[qcol(f"mh{b * band_size + j}") for j in range(band_size)],
+                    ).cast("binary")
+                ).alias("key"),
+            )
             for b in range(n_bands)
-        ],
+        ]
     )
-    pair_frames = []
-    for b in range(n_bands):
-        left = bands.select(F.col("__id").alias("id1"), F.col(f"band{b}").alias("__b"))
-        right = bands.select(F.col("__id").alias("id2"), F.col(f"band{b}").alias("__b"))
-        pair_frames.append(
-            left.join(right, "__b").filter(F.col("id1") < F.col("id2")).select("id1", "id2")
-        )
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return out.dropDuplicates()
+    exploded = signatures.select(
+        qcol(id_col).alias("__id"), F.explode(band_structs).alias("bk")
+    ).select("__id", F.col("bk.band").alias("__band"), F.col("bk.key").alias("__key"))
+    left = exploded.select(F.col("__id").alias("id1"), "__band", "__key")
+    right = exploded.select(F.col("__id").alias("id2"), "__band", "__key")
+    return (
+        left.join(right, ["__band", "__key"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .dropDuplicates()
+    )
 
 
 def simhash_expr(col: Column, bits: int = 16) -> Column:
@@ -154,11 +164,27 @@ def ngram_jaccard_pairs(
     block_col: str | None = None,
     threshold: float = 0.5,
     use_shingles: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram (or word-set) Jaccard for all pairs (id1 < id2),
     via inverted index: explode distinct tokens, equi-join on token
     (+ optional blocking key), count intersections, derive |union| from
     per-doc set sizes. Output: id1, id2, jaccard (round 4) ≥ threshold.
+
+    ``max_df`` — the scale guard. Inverted-index join work is
+    Σ df(token)², so ONE stopword-frequency token ('the' in nearly
+    every document) degrades the equi-join toward n². With ``max_df``
+    set, tokens whose document frequency (within the blocking group)
+    exceeds it are removed from the token UNIVERSE — both from the
+    index and from the set sizes, so the reported value is the exact
+    Jaccard over the ≤max_df-frequency vocabulary. Recall argument: a
+    token in >max_df docs carries ~no near-duplicate signal (it cannot
+    distinguish pairs — it is evidence shared with thousands of
+    non-duplicates), which is exactly the stopword-removal convention
+    of production dedup pipelines; pairs whose entire overlap is such
+    tokens are noise at any reasonable threshold. Cost when enabled:
+    one tiny (vocab-sized) DF aggregate + a broadcast anti-join + a
+    size-recount window — linear; the avoided join blowup is quadratic.
     """
     tok_expr = (
         shingles_expr(qcol(text_col))
@@ -178,6 +204,23 @@ def ngram_jaccard_pairs(
         "__id", *(["__blk"] if block_col else []), "__size",
         F.explode("__toks").alias("__tok"),
     )
+    if max_df is not None:
+        from pyspark.sql.window import Window
+
+        tok_cols = ["__tok", "__blk"] if block_col else ["__tok"]
+        hot = (
+            exploded.groupBy(*tok_cols)
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") > max_df)
+            .select(*tok_cols)
+        )
+        # hot side is ≤ |vocab| rows → broadcast anti-join, no shuffle
+        # of the exploded set beyond the one the equi-join needs anyway
+        exploded = exploded.join(F.broadcast(hot), tok_cols, "left_anti")
+        w = Window.partitionBy("__id")
+        exploded = exploded.withColumn(
+            "__size", F.count(F.lit(1)).over(w)
+        )
     left = exploded.select(
         F.col("__id").alias("id1"), F.col("__size").alias("s1"),
         *( [F.col("__blk")] if block_col else [] ),

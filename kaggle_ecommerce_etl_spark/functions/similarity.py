@@ -195,6 +195,9 @@ def cosine_topk_matmul(
     |Q|/chunk_rows corpus scans — use :func:`lsh_bucket_topk` there).
     Output/determinism identical to :func:`cosine_topk`: sim rounded
     to 6 BEFORE ranking, ties by neighbor_id, self-matches excluded.
+    ``id_col`` must be integral on both sides — ids are coerced to
+    int64 and the output schema pins long ids (string/UUID ids would
+    need a surrogate-key projection first).
     """
     spark = corpus.sparkSession
     sc = spark.sparkContext
@@ -213,8 +216,8 @@ def cosine_topk_matmul(
                 cmat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
                 cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
                 cids = pdf[id_col].to_numpy(dtype=np.int64)
-                # round BEFORE rank (oracle parity)
-                sims = np.round(qn @ cmat.T, 6)
+                # round BEFORE rank (oracle parity; HALF_UP like SQL round)
+                sims = _round6(qn @ cmat.T)
                 sims[qids[:, None] == cids[None, :]] = -np.inf  # self
                 # per-row sort by (-sim, neighbor_id): lexsort the batch
                 order = np.lexsort(
@@ -267,10 +270,13 @@ def cosine_pairs_above(
     Every unordered pair is seen exactly once under qid < cid because
     the chunk loop covers all rows on the query side. Exact — unlike
     an LSH prefilter there is no recall loss, so results match the
-    brute-force SQL oracle bit-for-bit; the O(n²/block) work runs
-    vectorized inside numpy instead of materializing pair rows.
-    For corpora where even blocked n² is too much, the recall-trading
-    path is :func:`lsh_bucket_topk` / minhash banding.
+    brute-force SQL oracle (same HALF_UP rounding, see ``_round6``;
+    residual divergence limited to fp-summation-order ULPs feeding the
+    6th decimal); the O(n²/block) work runs vectorized inside numpy
+    instead of materializing pair rows. For corpora where even blocked
+    n² is too much, the recall-trading path is :func:`lsh_bucket_topk`
+    / minhash banding. ``id_col`` must be integral (int64-coerced,
+    long output schema).
     """
     sc = df.sparkSession.sparkContext
     side = df.select(id_col, vec_col)
@@ -288,7 +294,7 @@ def cosine_pairs_above(
                 cmat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
                 cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
                 cids = pdf[id_col].to_numpy(dtype=np.int64)
-                sims = np.round(qn @ cmat.T, 6)  # round BEFORE threshold
+                sims = _round6(qn @ cmat.T)  # round BEFORE threshold (HALF_UP)
                 mask = (sims >= threshold) & (qids[:, None] < cids[None, :])
                 ii, jj = np.nonzero(mask)
                 yield pd.DataFrame(
@@ -303,6 +309,96 @@ def cosine_pairs_above(
     for p in partials[1:]:
         out = out.unionByName(p)
     return out
+
+
+def cosine_self_topk_blocked(
+    df: DataFrame,
+    k: int = 1,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_rows: int = 4096,
+) -> DataFrame:
+    """Exact top-k cosine neighbors WITHIN one table (every row is both
+    query and candidate), both sides fully distributed — the all-pairs
+    sibling of :func:`cosine_topk_matmul` with ZERO driver
+    participation: no collect, no toLocalIterator, no broadcast.
+
+    Physical shape (the 100 TB path for nearest-neighbor-per-row):
+
+    1. rows hash into B = ⌈n/block_rows⌉ coarse blocks; each block is
+       packed into ONE (ids, matrix) row (one shuffle, block payload
+       ≈ block_rows × dim × 8 B);
+    2. the B×B block-pair cross join gives each task exactly two block
+       payloads; the |C|² pair space exists only inside that task's
+       numpy matmul, which emits ≤ block_rows·k candidate rows;
+    3. a window re-rank merges partial top-ks per query.
+
+    Network cost is B·|C| vector bytes (every block meets every other
+    block) — the irreducible exact all-pairs shuffle, spread over B²
+    independent tasks. Recall-trading alternative when even that is too
+    much: :func:`lsh_bucket_topk` + exact re-rank of its candidates.
+
+    Output/determinism identical to :func:`cosine_topk`: sim HALF_UP-
+    rounded to 6 BEFORE ranking, ties by neighbor_id, self excluded.
+    ``id_col`` must be integral (output schema pins long ids).
+    """
+    spark = df.sparkSession
+    n = df.count()  # one cheap count sizes the block grid
+    n_blocks = max(1, math.ceil(n / block_rows))
+    src = df.select(
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
+        F.col(id_col).alias("__id"),
+        _as_double(F.col(vec_col)).alias("__vec"),
+    )
+    # collect_list order is nondeterministic — harmless: scoring is
+    # per-element and the output is (query, neighbor, sim) rows
+    packed = src.groupBy("__blk").agg(
+        F.collect_list("__id").alias("ids"),
+        F.collect_list("__vec").alias("vecs"),
+    )
+    pairs = packed.select(
+        F.col("ids").alias("qids_l"), F.col("vecs").alias("qvecs_l")
+    ).crossJoin(
+        packed.select(F.col("ids").alias("cids_l"), F.col("vecs").alias("cvecs_l"))
+    )
+    schema = "query_id long, neighbor_id long, sim double"
+
+    def _score(batches):
+        for pdf in batches:
+            for qi, qv, ci, cv in zip(
+                pdf["qids_l"], pdf["qvecs_l"], pdf["cids_l"], pdf["cvecs_l"]
+            ):
+                qids = np.asarray(qi, dtype=np.int64)
+                cids = np.asarray(ci, dtype=np.int64)
+                qn = np.asarray([np.asarray(v) for v in qv], dtype=np.float64)
+                cn = np.asarray([np.asarray(v) for v in cv], dtype=np.float64)
+                qn /= np.linalg.norm(qn, axis=1, keepdims=True)
+                cn /= np.linalg.norm(cn, axis=1, keepdims=True)
+                sims = _round6(qn @ cn.T)
+                sims[qids[:, None] == cids[None, :]] = -np.inf
+                order = np.lexsort(
+                    (np.broadcast_to(cids, sims.shape), -sims), axis=-1
+                )[:, : min(k, sims.shape[1])]
+                top_s = np.take_along_axis(sims, order, axis=1)
+                keep = np.isfinite(top_s)
+                n_per_q = keep.sum(axis=1)
+                yield pd.DataFrame(
+                    {
+                        "query_id": np.repeat(qids, n_per_q),
+                        "neighbor_id": cids[order][keep],
+                        "sim": top_s[keep],
+                    }
+                )
+
+    partial = pairs.mapInPandas(_score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "sim", "rank")
+    )
 
 
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:

@@ -21,9 +21,12 @@ Scale notes:
 from __future__ import annotations
 
 import datetime as _dt
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+
+logger = logging.getLogger(__name__)
 
 from kaggle_ecommerce_etl_spark.operators.structural import with_file_order
 from kaggle_ecommerce_etl_spark.pipelines.amazon import clean_amazon_sale
@@ -57,12 +60,21 @@ def run_batch(
     raw_dir: str,
     out_dir: str | None = None,
     minutes: int | None = None,
+    errors: dict[str, str] | None = None,
 ) -> dict[str, DataFrame]:
     """Process one drop of raw report files; returns the cleaned tables
     (and writes CSV outputs when out_dir is given).
 
     Output keys mirror the reference's warehouse tables: amazon_sale,
     amazon_sale_version, sale_report, international_sale.
+
+    Error isolation (the reference wraps every step in try/except +
+    logging ~30×, e.g. pg.py:139-144, 229-233): one corrupt/malformed
+    file must not kill the whole drop. Each route — and within the
+    international route, each FILE — is built independently; failures
+    are logged and, when the caller passes an ``errors`` dict, recorded
+    there (key = route/path, value = message) while healthy routes
+    still load.
     """
     routes: dict[str, list[str]] = {}
     for path in discover_files(raw_dir, minutes):
@@ -71,26 +83,49 @@ def run_batch(
             routes.setdefault(route, []).append(path)
 
     results: dict[str, DataFrame] = {}
+    if errors is None:
+        errors = {}
+
     if "amazon" in routes:
-        raw = read_csv_with_encoding_fallback(spark, routes["amazon"])
-        clean, flagged = clean_amazon_sale(raw)
-        results["amazon_sale"] = clean
-        results["amazon_sale_version"] = flagged
+        try:
+            raw = read_csv_with_encoding_fallback(spark, routes["amazon"])
+            clean, flagged = clean_amazon_sale(raw)
+            results["amazon_sale"] = clean
+            results["amazon_sale_version"] = flagged
+        except Exception as e:  # noqa: BLE001 — defensive posture (pg.py:229-233)
+            logger.exception("amazon route failed: %s", routes["amazon"])
+            errors["amazon"] = str(e)
     if "sale" in routes:
-        raw = read_csv_with_encoding_fallback(spark, routes["sale"])
-        results["sale_report"] = clean_sale(raw)
+        try:
+            raw = read_csv_with_encoding_fallback(spark, routes["sale"])
+            results["sale_report"] = clean_sale(raw)
+        except Exception as e:  # noqa: BLE001
+            logger.exception("sale route failed: %s", routes["sale"])
+            errors["sale"] = str(e)
     if "international" in routes:
-        # one file at a time: the row-group split is order-dependent
+        # one file at a time: the row-group split is order-dependent,
+        # AND per-file isolation means one malformed report only loses
+        # that file, not the route
         parts = []
         for path in routes["international"]:
-            raw = read_csv_with_encoding_fallback(spark, path)
-            parts.append(clean_international_sale(with_file_order(raw)))
-        df = parts[0]
-        for p in parts[1:]:
-            df = df.unionByName(p)
-        results["international_sale"] = df
+            try:
+                raw = read_csv_with_encoding_fallback(spark, path)
+                parts.append(clean_international_sale(with_file_order(raw)))
+            except Exception as e:  # noqa: BLE001
+                logger.exception("international file failed: %s", path)
+                errors[path] = str(e)
+        if parts:
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+            results["international_sale"] = df
 
     if out_dir:
-        for table, df in results.items():
-            write_csv(df, os.path.join(out_dir, table), single_file=True)
+        for table, df in list(results.items()):
+            try:
+                write_csv(df, os.path.join(out_dir, table), single_file=True)
+            except Exception as e:  # noqa: BLE001
+                logger.exception("writing %s failed", table)
+                errors[f"write:{table}"] = str(e)
+
     return results

@@ -1111,6 +1111,9 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="source",
         threshold=0.8,
         use_shingles=False,
+        # scale guard: prunes stopword-frequency tokens from the index
+        # (inert at sf0.01 where max per-block DF is 24 — oracle exact)
+        max_df=100,
     )
 
 
@@ -1131,15 +1134,17 @@ FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.8
 
 def q_embedding_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: nearest neighbor (top-1 cosine) per vector.
-    All-pairs workload → blocked-matmul path (no pair-row
-    materialization; see cosine_topk_matmul)."""
+    All-pairs workload → both-sides-distributed block matmul: every row
+    is query AND candidate, so nothing streams through the driver
+    (cosine_topk_matmul's chunked-broadcast contract assumes a SMALL
+    query side — wrong shape here; see cosine_self_topk_blocked)."""
     from kaggle_ecommerce_etl_spark.functions.similarity import (
-        cosine_topk_matmul,
+        cosine_self_topk_blocked,
     )
     from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
 
     emb = ensure_min_partitions(_t(spark, sf_dir, "embeddings"))
-    return cosine_topk_matmul(emb, emb, k=1)
+    return cosine_self_topk_blocked(emb, k=1)
 
 
 ORACLE_EMB_NEAREST = """

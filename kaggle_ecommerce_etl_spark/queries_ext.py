@@ -494,6 +494,8 @@ def q_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="source",
         threshold=0.5,
         use_shingles=True,
+        # shingle DF is far below the word-token DF; same scale guard
+        max_df=100,
     )
 
 
@@ -547,8 +549,12 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaggle_ecommerce_etl_spark.functions.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
+    # b=3 planes × T=16 tables: measured recall@5 vs brute force is
+    # 0.98 (sf0.001) / 0.99 (sf0.01) — deterministic, seeded planes.
+    # At larger corpora raise n_planes ∝ log(n) to keep buckets sized,
+    # trading recall back via more tables.
     return lsh_bucket_topk(
-        emb.filter(F.col("vec_id") < 20), emb, k=5, n_planes=4, n_tables=8
+        emb.filter(F.col("vec_id") < 20), emb, k=5, n_planes=3, n_tables=16
     )
 
 

@@ -82,3 +82,23 @@ def test_discover_files_recency(tmp_path):
     os.utime(f2, (old, old))
     assert [p.endswith("a.csv") for p in discover_files(str(tmp_path), minutes=10)] == [True]
     assert len(discover_files(str(tmp_path))) == 2
+
+
+def test_run_batch_isolates_corrupt_file(spark, tmp_path):
+    """One malformed file (an amazon-routed CSV missing the Order ID
+    column → unresolvable conflict-split key) must not kill the drop:
+    the healthy sale route still loads, the failure lands in errors."""
+    raw = tmp_path / "raw2"
+    raw.mkdir()
+    (raw / "Amazon Sale Report_2022-05-01_00-00-00.csv").write_text(
+        "garbage,columns\n1,2\n"
+    )
+    sale = ["index,SKU Code,Design No.,Stock,Category,Size,Color"]
+    sale += [f"{i},sku-{i},D-{i},{i},Kurta,M,Red" for i in range(4)]
+    (raw / "Sale Report_2022-05-01_00-00-00.csv").write_text("\n".join(sale) + "\n")
+
+    errors: dict[str, str] = {}
+    results = run_batch(spark, str(raw), errors=errors)
+    assert "sale_report" in results and results["sale_report"].count() == 4
+    assert "amazon_sale" not in results
+    assert list(errors) == ["amazon"] and errors["amazon"]

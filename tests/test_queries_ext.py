@@ -56,8 +56,9 @@ def test_embedding_neardup_symmetric_free(spark, sf_dir):
 
 
 def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
-    """Bucketed ANN must recover a decent fraction of the exact top-5
-    (4 hyperplanes → 16 buckets over 500 vectors)."""
+    """Bucketed ANN must recover nearly all of the exact top-5.
+    Deterministic (seeded hyperplanes): measured 0.98 at sf0.001 with
+    b=3/T=16, so a 0.9 bar catches any real recall regression."""
     from kaggle_ecommerce_etl_spark.functions.similarity import cosine_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -71,7 +72,7 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
         for r in qx.q_ann_lsh_topk(spark, sf_dir).collect()
     }
     recall = len(exact & approx) / len(exact)
-    assert recall >= 0.3, f"LSH recall {recall:.2f} too low"
+    assert recall >= 0.9, f"LSH recall {recall:.2f} too low"
 
 
 def test_ann_lsh_rank_contract(spark, sf_dir):
