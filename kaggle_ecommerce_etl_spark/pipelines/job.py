@@ -121,7 +121,11 @@ def run_batch(
             results["international_sale"] = df
 
     if out_dir:
+        seen_ids: set[int] = set()  # op 17: skip aliased outputs (pg.py:646-657)
         for table, df in list(results.items()):
+            if id(df) in seen_ids:
+                continue
+            seen_ids.add(id(df))
             try:
                 write_csv(df, os.path.join(out_dir, table), single_file=True)
             except Exception as e:  # noqa: BLE001

@@ -539,6 +539,18 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 """
 
 
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-prefiltered near-dup pairs — the 100 TB sibling of
+    `embedding_neardup_pairs`: single (table,bucket) self-equi-join
+    generates candidates, only candidates pay exact cosine. No SQL
+    oracle (seeded-PRNG buckets → approximate); recall vs the exact
+    pair set is asserted in tests/test_queries_ext.py."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import lsh_neardup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return lsh_neardup_pairs(emb, threshold=0.4)
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + exact
     re-rank inside the bucket. Seed-derived hyperplanes live in the
@@ -720,6 +732,7 @@ EXT_REGISTRY = {
     "date_buckets": (q_date_buckets, ORACLE_DATE_BUCKETS),
     "shingle_jaccard_pairs": (q_shingle_jaccard_pairs, ORACLE_SHINGLE_JACCARD),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMB_NEARDUP),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
     "latest_per_key": (q_latest_per_key, ORACLE_LATEST_PER_KEY),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),

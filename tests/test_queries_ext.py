@@ -75,6 +75,22 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.2f} too low"
 
 
+def test_lsh_neardup_recall_and_precision(spark, sf_dir):
+    """The LSH-prefiltered pair set must be a SUBSET of the exact pairs
+    (precision 1.0 — candidates are exactly re-scored) with near-total
+    recall at b=3/T=16 (deterministic seeded planes)."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import cosine_pairs_above
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    exact = {(r.id1, r.id2) for r in cosine_pairs_above(emb, 0.4).collect()}
+    approx = {
+        (r.id1, r.id2) for r in qx.q_embedding_neardup_lsh(spark, sf_dir).collect()
+    }
+    assert approx <= exact, "LSH path produced a pair the exact scan lacks"
+    recall = len(approx) / len(exact) if exact else 1.0
+    assert recall >= 0.9, f"LSH neardup recall {recall:.2f} too low"
+
+
 def test_ann_lsh_rank_contract(spark, sf_dir):
     df = qx.q_ann_lsh_topk(spark, sf_dir)
     rows = df.collect()
