@@ -154,14 +154,27 @@ def categorical_profile(df: DataFrame, cols: Sequence[str]) -> DataFrame:
         .filter(F.col("value").isNotNull())
     )
     counts = long.groupBy("col_name", "value").agg(F.count(F.lit(1)).alias("cnt"))
+    # ONE downstream chain (not separate uniq/top branches joined —
+    # that plan scanned the source twice): window-rank on the already
+    # aggregated counts, then a groupBy that REUSES the window's
+    # hash(col_name) partitioning, so the source is scanned once and
+    # the col_name exchange happens once.
     w = Window.partitionBy("col_name").orderBy(F.desc("cnt"), F.asc("value"))
-    top = (
-        counts.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select("col_name", F.col("value").alias("top"), F.col("cnt").alias("top_freq"))
+    ranked = counts.withColumn("__rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("col_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_unique"),
+            # exactly one row has __rn == 1; max over {struct, NULLs}
+            F.max(F.when(F.col("__rn") == 1, F.struct("value", "cnt"))).alias("__top"),
+        )
+        .select(
+            "col_name",
+            "n_unique",
+            F.col("__top.value").alias("top"),
+            F.col("__top.cnt").alias("top_freq"),
+        )
     )
-    uniq = counts.groupBy("col_name").agg(F.count(F.lit(1)).alias("n_unique"))
-    return uniq.join(top, "col_name")
 
 
 def drop_all_null_columns(df: DataFrame, profile: dict | None = None) -> DataFrame:

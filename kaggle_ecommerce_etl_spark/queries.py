@@ -1379,11 +1379,11 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "big_orders": (q_big_orders, ORACLE_BIG_ORDERS),
     "running_total": (q_running_total, ORACLE_RUNNING_TOTAL),
     "sales_cube": (q_sales_cube, ORACLE_SALES_CUBE),
-    "supplier_anti_join": (q_supplier_anti_join, ORACLE_SUPPLIER_ANTI),
     "parts_above_avg": (q_parts_above_avg, ORACLE_PARTS_ABOVE_AVG),
     "letters_predicate": (q_letters_predicate, ORACLE_LETTERS),
-    # ---------------- slot 50 boundary (with the 7 pipeline entries
+    # ---------------- slot 50 boundary (with the 8 pipeline entries
     # spliced in above, everything below is local-evidence-only) ------
+    "supplier_anti_join": (q_supplier_anti_join, ORACLE_SUPPLIER_ANTI),
     "distinct_projection": (q_distinct_projection, ORACLE_DISTINCT_PROJ),
     "pivot_status": (q_pivot_status, ORACLE_PIVOT),
     "set_ops_customers": (q_set_ops_customers, ORACLE_SET_OPS),

@@ -44,6 +44,7 @@ from kaggle_ecommerce_etl_spark.sinks.csv_sink import timestamped_name, write_cs
 from kaggle_ecommerce_etl_spark.sinks.jdbc import write_upsert
 from kaggle_ecommerce_etl_spark.sources.csv_source import (
     read_csv_with_encoding_fallback,
+    read_recent_csv,
     with_filename_timestamp,
 )
 
@@ -480,6 +481,43 @@ FROM orders WHERE o_orderkey % 100 = 0
 
 
 # --------------------------------------------------------------------------
+# op 4 — incremental file-listing source (reference pg.py:74-121)
+# --------------------------------------------------------------------------
+
+def q_incremental_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-window incremental scan: two raw files land with different
+    mtimes; only the one inside the now-Δ window is read. The pruning
+    happens at FILE-LISTING time via the scan's ``modifiedAfter``
+    option (no data read for stale files — at 100 TB the listing prune
+    IS the operator). Stale file gets a year-2000 mtime; the fresh
+    file's mtime is its write time, always inside the 10-min window."""
+    import time
+
+    base = _fixture_path(sf_dir, "incremental")
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    proj = ["o_orderkey", "o_orderstatus", "o_orderpriority"]
+    old_p, new_p = f"{base}/old_batch.csv", f"{base}/new_batch.csv"
+    write_csv_file(o.filter(k % 100 == 1).select(*proj), old_p)
+    write_csv_file(o.filter(k % 100 == 2).select(*proj), new_p)
+    os.utime(old_p, (946684800, 946684800))  # 2000-01-01: outside any window
+    os.utime(new_p, (time.time(), time.time()))
+
+    fresh = read_recent_csv(spark, base, minutes=10)
+    return fresh.select(
+        F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+        "o_orderstatus",
+        "o_orderpriority",
+    )
+
+
+ORACLE_INCREMENTAL = """
+SELECT o_orderkey, o_orderstatus, o_orderpriority
+FROM orders WHERE o_orderkey % 100 = 2
+"""
+
+
+# --------------------------------------------------------------------------
 # op 19 — categorical describe (unique/top/freq, reference pg.py:39-40)
 # --------------------------------------------------------------------------
 
@@ -515,5 +553,6 @@ PIPELINE_REGISTRY = {
     "pipeline_international": (q_pipeline_international, ORACLE_PIPELINE_INTL),
     "upsert_roundtrip": (q_upsert_roundtrip, ORACLE_UPSERT),
     "csv_roundtrip": (q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP),
+    "incremental_read": (q_incremental_read, ORACLE_INCREMENTAL),
     "categorical_profile": (q_categorical_profile, ORACLE_CATEGORICAL),
 }
