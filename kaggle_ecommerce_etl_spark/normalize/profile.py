@@ -55,6 +55,35 @@ def summary_stats(df: DataFrame, cols: Sequence[str] | None = None) -> DataFrame
     return df.summary() if cols is None else df.select(*cols).summary()
 
 
+def summary_stats_exact(df: DataFrame, cols: Sequence[str]) -> DataFrame:
+    """Exact twin of :func:`summary_stats` (op 19), long format: one row
+    per column with count/mean/stddev/min/quartiles/max. ``percentile``
+    is the EXACT aggregate (per-group sort) — the oracle-checkable
+    correctness twin; ``summary()``'s approx-percentile path is the
+    100 TB path. Stats rounded to 6 so fp summation order can't leak
+    into comparisons.
+
+    Shape: unpivot via ``stack`` (narrow projection, no shuffle) then
+    ONE groupBy over n_cols groups — a single exchange regardless of
+    column count."""
+    stack_args = ", ".join(f"'{c}', CAST(`{c}` AS DOUBLE)" for c in cols)
+    long = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) AS (col_name, value)")
+    )
+    pct = [
+        F.round(F.expr(f"percentile(value, {q})"), 6).alias(name)
+        for q, name in ((0.25, "p25"), (0.5, "p50"), (0.75, "p75"))
+    ]
+    return long.groupBy("col_name").agg(
+        F.count("value").alias("cnt"),
+        F.round(F.avg("value"), 6).alias("mean"),
+        F.round(F.stddev_samp("value"), 6).alias("stddev"),
+        F.round(F.min("value"), 6).alias("min_v"),
+        *pct,
+        F.round(F.max("value"), 6).alias("max_v"),
+    )
+
+
 def column_role(name: str) -> str:
     """Name-driven coercion role, mirroring the reference's heuristics."""
     n = name.lower()

@@ -1,0 +1,96 @@
+"""Scale patterns (the 100 TB posture made executable): co-located
+bucketed joins, salted skew joins, partition-pruned writes.
+
+The reference never needs these (single-node pandas over tens of MB,
+ecommerce_s3_to_pg.py end-to-end), but every §2 operator we re-express
+leans on them the moment the data is 1000× the test scale factor:
+
+- **Bucketing** pre-shuffles a table ONCE at write time; every later
+  join/agg on the bucket key reads co-located buckets with ZERO
+  exchange. The write-amortized answer to "this join shuffles 100 TB
+  every night".
+- **Salting** breaks a hot key across ``n_salts`` sub-keys so one
+  skewed key can't serialize a stage onto one task. AQE skew-join
+  splits oversized partitions at runtime; explicit salting is the
+  plan-level guarantee for the pathological key you know about.
+- **Partitioned writes** turn predicates on the partition column into
+  file-listing prunes — the scan never opens non-matching files.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    key: str | Sequence[str],
+    buckets: int = 8,
+    database: str | None = None,
+) -> str:
+    """Persist ``df`` as a bucketed+sorted catalog table; returns the
+    qualified table name. Both sides of a repeated join should use the
+    SAME bucket count and key so the join plans with no Exchange (and
+    no per-query sort, thanks to sortBy)."""
+    keys = [key] if isinstance(key, str) else list(key)
+    qual = f"{database}.{table}" if database else table
+    (
+        df.write.mode("overwrite")
+        .bucketBy(buckets, *keys)
+        .sortBy(*keys)
+        .format("parquet")
+        .saveAsTable(qual)
+    )
+    return qual
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-proof equi-join: the big side gets a row-derived salt in
+    [0, n_salts); the small side is replicated once per salt value
+    (rows × n_salts — keep the small side small); the join runs on
+    (keys + salt) so one hot key spreads over ``n_salts`` tasks.
+
+    The salt hashes the big side's FULL row, so only bit-identical
+    duplicate rows share a salt — the usual skew shape (hot key,
+    varying payload) spreads evenly. Result equals ``big.join(small,
+    on, how)`` for equi-joins of ``inner``/``left`` kind (each big row
+    meets exactly one replica of its matching small rows).
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
+    big_s = big.withColumn("__salt", salt.cast("int"))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    return big_s.join(small_s, [*on, "__salt"], how).drop("__salt")
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: Sequence[str]
+) -> None:
+    """Directory-partitioned parquet write: predicates on
+    ``partition_cols`` prune at FILE-LISTING time on read (the plan
+    shows them under PartitionFilters, not PushedFilters)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
+
+
+def read_pruned(
+    spark: SparkSession, path: str, **partition_values: str
+) -> DataFrame:
+    """Read a partitioned dataset keeping only the given partition
+    values; the filter lands in PartitionFilters (listing prune)."""
+    df = spark.read.parquet(path)
+    for col, val in partition_values.items():
+        df = df.filter(F.col(col) == val)
+    return df

@@ -1375,14 +1375,14 @@ REGISTRY: dict[str, tuple[QueryFn, str | None]] = {
     "word_jaccard_pairs": (q_word_jaccard_pairs, ORACLE_WORD_JACCARD),
     # relational breadth (distinct §2-adjacent shapes)
     "revenue_filter": (q_revenue_filter, ORACLE_REVENUE_FILTER),
-    "top_unshipped": (q_top_unshipped, ORACLE_TOP_UNSHIPPED),
-    "big_orders": (q_big_orders, ORACLE_BIG_ORDERS),
-    "running_total": (q_running_total, ORACLE_RUNNING_TOTAL),
     "sales_cube": (q_sales_cube, ORACLE_SALES_CUBE),
     "parts_above_avg": (q_parts_above_avg, ORACLE_PARTS_ABOVE_AVG),
     "letters_predicate": (q_letters_predicate, ORACLE_LETTERS),
-    # ---------------- slot 50 boundary (with the 8 pipeline entries
+    # ---------------- slot 50 boundary (with the 11 pipeline entries
     # spliced in above, everything below is local-evidence-only) ------
+    "running_total": (q_running_total, ORACLE_RUNNING_TOTAL),
+    "top_unshipped": (q_top_unshipped, ORACLE_TOP_UNSHIPPED),
+    "big_orders": (q_big_orders, ORACLE_BIG_ORDERS),
     "supplier_anti_join": (q_supplier_anti_join, ORACLE_SUPPLIER_ANTI),
     "distinct_projection": (q_distinct_projection, ORACLE_DISTINCT_PROJ),
     "pivot_status": (q_pivot_status, ORACLE_PIVOT),

@@ -570,6 +570,25 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via an IVF index (coarse spherical k-means
+    quantizer + nprobe cell-probe equi-join + exact re-rank) — the
+    data-DEPENDENT ANN family next to the data-oblivious LSH one.
+    No SQL oracle (centroids come from the driver-side sampled Lloyd
+    loop); recall-vs-bruteforce is asserted in tests/test_queries_ext.py."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # 16 cells, probe 6, corpus multi-assigned to 3: measured recall@5
+    # vs brute force 0.95 at sf0.001 (seeded quantizer). High coverage
+    # is forced by the UNIFORM synthetic embeddings; see ivf_topk's
+    # docstring for the clustered-data parameterization.
+    return ivf_topk(
+        emb.filter(F.col("vec_id") < 20), emb,
+        k=5, n_cells=16, nprobe=6, n_assign=3,
+    )
+
+
 # --------------------------------------------------------------------------
 # training-pipeline staples: latest-version dedup, tf-idf, corpus stats,
 # deterministic sampling
@@ -714,6 +733,128 @@ WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 10 = 0
 """
 
 
+# --------------------------------------------------------------------------
+# scale patterns (operators/scale.py): co-located bucketed join, salted
+# skew join, partition-pruned read — the partitioning strategies the
+# engine's 100 TB posture rests on, exercised end-to-end with oracles
+# --------------------------------------------------------------------------
+
+def _scale_fixture(sf_dir: str, name: str) -> str:
+    import hashlib
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"/tmp/spark_graft_fixtures/{tag}/{name}"
+
+
+def q_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders ⋈ lineitem with BOTH sides bucketed+sorted by the join
+    key: the join plans with zero Exchange and zero per-query Sort
+    (asserted in tests/test_scale.py) — the shuffle was paid once at
+    write time. At 100 TB this is the difference between re-shuffling
+    the fact table every query and never shuffling it again."""
+    from kaggle_ecommerce_etl_spark.operators.scale import write_bucketed
+
+    db = "graft_bkt_" + _scale_fixture(sf_dir, "")[-9:-1]
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    loc = _scale_fixture(sf_dir, "bucketed_wh")
+    import shutil
+
+    shutil.rmtree(loc, ignore_errors=True)
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{loc}'")
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    ot = write_bucketed(o, "orders_b", "o_orderkey", buckets=8, database=db)
+    lt = write_bucketed(li, "lineitem_b", "l_orderkey", buckets=8, database=db)
+
+    joined = spark.table(lt).join(
+        spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+    )
+    return joined.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+    )
+
+
+ORACLE_BUCKETED_JOIN = """
+SELECT o_orderpriority,
+       COUNT(*) AS n_items,
+       round(SUM(l_quantity), 2) AS sum_qty,
+       round(SUM(l_extendedprice), 2) AS sum_price
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A 5-value hot key (every lineitem row lands on one of 5 keys —
+    pathological skew) joined to its dim through salted_join: the hot
+    key spreads over 8 salt sub-keys so no single task owns a fifth of
+    the table. Values identical to the plain join (the oracle)."""
+    from kaggle_ecommerce_etl_spark.operators.scale import salted_join
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        (F.col("l_orderkey") % 5).alias("skew_key"),
+        "l_quantity",
+        "l_extendedprice",
+    )
+    dim = (
+        spark.range(5)
+        .select(
+            F.col("id").alias("skew_key"),
+            F.concat(F.lit("K"), F.col("id").cast("string")).alias("label"),
+        )
+    )
+    out = salted_join(li, dim, ["skew_key"], n_salts=8)
+    return out.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+ORACLE_SALTED_JOIN = """
+SELECT 'K' || CAST(l_orderkey % 5 AS VARCHAR) AS label,
+       COUNT(*) AS n_rows,
+       round(SUM(l_quantity), 2) AS sum_qty
+FROM lineitem
+GROUP BY label
+"""
+
+
+def q_partition_pruned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders written directory-partitioned by o_orderstatus, read back
+    filtered to one status: the predicate lands in PartitionFilters
+    (file-listing prune, asserted in tests/test_scale.py) — at 100 TB
+    the scan never opens the other statuses' files at all."""
+    from kaggle_ecommerce_etl_spark.operators.scale import (
+        read_pruned,
+        write_partitioned,
+    )
+
+    path = _scale_fixture(sf_dir, "orders_partitioned")
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    write_partitioned(o, path, ["o_orderstatus"])
+    back = read_pruned(spark, path, o_orderstatus="F")
+    return back.select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+    )
+
+
+ORACLE_PARTITION_PRUNED = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total, o_orderstatus
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -734,8 +875,13 @@ EXT_REGISTRY = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMB_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
     "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
     "latest_per_key": (q_latest_per_key, ORACLE_LATEST_PER_KEY),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "bigram_doc_freq": (q_bigram_doc_freq, ORACLE_BIGRAM_DF),
     "hash_sample": (q_hash_sample, ORACLE_HASH_SAMPLE),
+    # scale patterns
+    "bucketed_join_agg": (q_bucketed_join_agg, ORACLE_BUCKETED_JOIN),
+    "salted_skew_join": (q_salted_skew_join, ORACLE_SALTED_JOIN),
+    "partition_pruned_read": (q_partition_pruned_read, ORACLE_PARTITION_PRUNED),
 }

@@ -33,8 +33,13 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from kaggle_ecommerce_etl_spark.normalize.profile import categorical_profile
+from kaggle_ecommerce_etl_spark.normalize.profile import (
+    categorical_profile,
+    summary_stats_exact,
+)
+from kaggle_ecommerce_etl_spark.operators.filters import add_audit_columns
 from kaggle_ecommerce_etl_spark.operators.structural import with_file_order
+from kaggle_ecommerce_etl_spark.sinks.ddl import create_tables
 from kaggle_ecommerce_etl_spark.pipelines.amazon import clean_amazon_sale
 from kaggle_ecommerce_etl_spark.pipelines.international import (
     clean_international_sale,
@@ -518,6 +523,119 @@ FROM orders WHERE o_orderkey % 100 = 2
 
 
 # --------------------------------------------------------------------------
+# op 6 — DDL / catalog table round-trip (reference pg.py:450-533)
+# --------------------------------------------------------------------------
+
+def q_ddl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DDL → catalog table → insert → read back. create_tables emits the
+    reference's CREATE TABLE IF NOT EXISTS (pg.py:450-533) as a
+    parquet-backed catalog table in a query-private database (fully
+    qualified names — the shared session's current database is never
+    touched); an INSERT OVERWRITE makes re-runs idempotent. Green iff
+    the DDL schema, the writer, and the catalog read agree end-to-end.
+    loaded_at is pinned to a literal so the oracle can reproduce it."""
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    db = f"graft_wh_{tag}"
+    loc = _fixture_path(sf_dir, "warehouse")
+    # a FRESH session's catalog doesn't know the table, but the managed
+    # location persists on disk → LOCATION_ALREADY_EXISTS on re-create.
+    # Reset both sides so the query is idempotent across sessions.
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    shutil.rmtree(loc, ignore_errors=True)
+    create_tables(spark, ["sale_report"], database=db, location=loc)
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    batch = o.filter(k % 50 == 0).select(
+        F.concat(F.lit("SK-"), k.cast("string")).alias("sku_code"),
+        F.concat(F.lit("D"), (k % 97).cast("string")).alias("design_no"),
+        (k % 500).cast("int").alias("stock"),
+        F.col("o_orderpriority").alias("category"),
+        F.when(k % 2 == 0, "M").otherwise("L").alias("size"),
+        F.when(k % 3 == 0, "Red").otherwise("Blue").alias("color"),
+        F.lit(_FIXED_TS).cast("timestamp").alias("loaded_at"),
+    )
+    batch.write.insertInto(f"{db}.sale_report", overwrite=True)
+    return spark.table(f"{db}.sale_report")
+
+
+ORACLE_DDL_ROUNDTRIP = f"""
+SELECT 'SK-' || CAST(o_orderkey AS VARCHAR) AS sku_code,
+       'D' || CAST(o_orderkey % 97 AS VARCHAR) AS design_no,
+       CAST(o_orderkey % 500 AS INT) AS stock,
+       o_orderpriority AS category,
+       CASE WHEN o_orderkey % 2 = 0 THEN 'M' ELSE 'L' END AS size,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'Red' ELSE 'Blue' END AS color,
+       TIMESTAMP '{_FIXED_TS}' AS loaded_at
+FROM orders WHERE o_orderkey % 50 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# op 13 — literal / audit lineage columns (reference pg.py:268,332,418)
+# --------------------------------------------------------------------------
+
+def q_audit_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lineage tagging through the real operator. ``loaded_at`` is
+    ``current_timestamp()`` — wall-clock, un-oracle-able by value — so
+    the projection checks its CONTRACT (set on every row) as a boolean
+    while the deterministic ``data_source`` tag is value-checked."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.filter(F.col("o_orderkey") % 40 == 0).select(
+        "o_orderkey", "o_orderstatus"
+    )
+    tagged = add_audit_columns(base, data_source="amazon_sale")
+    return tagged.select(
+        "o_orderkey",
+        "o_orderstatus",
+        "data_source",
+        F.col("loaded_at").isNotNull().alias("loaded_at_set"),
+    )
+
+
+ORACLE_AUDIT = """
+SELECT o_orderkey, o_orderstatus, 'amazon_sale' AS data_source,
+       TRUE AS loaded_at_set
+FROM orders WHERE o_orderkey % 40 = 0
+"""
+
+
+# --------------------------------------------------------------------------
+# op 19 — exact describe() twin (count/mean/stddev/min/quartiles/max)
+# --------------------------------------------------------------------------
+
+def q_summary_stats_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The oracle-checkable half of op 19: same stats as summary_stats
+    but with EXACT percentiles, long format. (summary_stats stays
+    registered rows-only as the approx 100 TB path.)"""
+    li = _t(spark, sf_dir, "lineitem")
+    return summary_stats_exact(
+        li, ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
+ORACLE_SUMMARY_EXACT = """
+WITH long AS (
+  SELECT 'l_quantity' AS col_name, CAST(l_quantity AS DOUBLE) AS value FROM lineitem
+  UNION ALL
+  SELECT 'l_extendedprice', CAST(l_extendedprice AS DOUBLE) FROM lineitem
+  UNION ALL
+  SELECT 'l_discount', CAST(l_discount AS DOUBLE) FROM lineitem
+)
+SELECT col_name,
+       COUNT(value) AS cnt,
+       round(AVG(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS stddev,
+       round(MIN(value), 6) AS min_v,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75,
+       round(MAX(value), 6) AS max_v
+FROM long GROUP BY col_name
+"""
+
+
+# --------------------------------------------------------------------------
 # op 19 — categorical describe (unique/top/freq, reference pg.py:39-40)
 # --------------------------------------------------------------------------
 
@@ -554,5 +672,8 @@ PIPELINE_REGISTRY = {
     "upsert_roundtrip": (q_upsert_roundtrip, ORACLE_UPSERT),
     "csv_roundtrip": (q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP),
     "incremental_read": (q_incremental_read, ORACLE_INCREMENTAL),
+    "ddl_roundtrip": (q_ddl_roundtrip, ORACLE_DDL_ROUNDTRIP),
+    "audit_columns": (q_audit_columns, ORACLE_AUDIT),
+    "summary_stats_exact": (q_summary_stats_exact, ORACLE_SUMMARY_EXACT),
     "categorical_profile": (q_categorical_profile, ORACLE_CATEGORICAL),
 }

@@ -14,17 +14,26 @@ from pyspark.sql import SparkSession
 from kaggle_ecommerce_etl_spark.sinks.jdbc import TABLE_DDL
 
 
-def ddl_for(table: str) -> str:
+def ddl_for(table: str, database: str | None = None) -> str:
     cols = ", ".join(f"`{name}` {typ}" for name, typ in TABLE_DDL[table])
-    return f"CREATE TABLE IF NOT EXISTS {table} ({cols}) USING parquet"
+    qual = f"{database}.{table}" if database else table
+    return f"CREATE TABLE IF NOT EXISTS {qual} ({cols}) USING parquet"
 
 
 def create_tables(
-    spark: SparkSession, tables: list[str] | None = None, database: str | None = None
+    spark: SparkSession,
+    tables: list[str] | None = None,
+    database: str | None = None,
+    location: str | None = None,
 ) -> None:
-    """Create the warehouse tables in the session catalog."""
+    """Create the warehouse tables in the session catalog.
+
+    Tables are fully qualified — no ``USE``, so the session's current
+    database is never mutated (a shared session may be running other
+    work). ``location`` pins the database directory (e.g. under a job
+    scratch dir) instead of the session warehouse default."""
     if database:
-        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
-        spark.sql(f"USE {database}")
+        loc = f" LOCATION '{location}'" if location else ""
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}{loc}")
     for t in tables or list(TABLE_DDL):
-        spark.sql(ddl_for(t))
+        spark.sql(ddl_for(t, database))

@@ -75,6 +75,25 @@ def test_ann_lsh_recall_vs_bruteforce(spark, sf_dir):
     assert recall >= 0.9, f"LSH recall {recall:.2f} too low"
 
 
+def test_ann_ivf_recall(spark, sf_dir):
+    """IVF (16 cells, nprobe=4) must find ≥0.9 of the exact top-5 —
+    deterministic seeded quantizer, so a miss is a real regression."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in cosine_topk(queries, emb, k=5).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in qx.q_ann_ivf_topk(spark, sf_dir).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.9, f"IVF recall {recall:.2f} too low"
+
+
 def test_lsh_neardup_recall_and_precision(spark, sf_dir):
     """The LSH-prefiltered pair set must be a SUBSET of the exact pairs
     (precision 1.0 — candidates are exactly re-scored) with near-total

@@ -8,8 +8,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from kaggle_ecommerce_etl_spark.queries_pipeline import (
+    q_audit_columns,
     q_categorical_profile,
     q_csv_roundtrip,
+    q_ddl_roundtrip,
     q_pipeline_amazon_clean,
     q_pipeline_amazon_flagged,
     q_pipeline_international,
@@ -71,6 +73,39 @@ def test_csv_roundtrip_timestamp(spark, sf_dir):
     out = q_csv_roundtrip(spark, sf_dir)
     ts = out.select("file_ts").distinct().collect()
     assert len(ts) == 1 and str(ts[0]["file_ts"]) == "2024-01-02 03:04:05"
+
+
+def test_ddl_roundtrip_idempotent_and_typed(spark, sf_dir):
+    first = q_ddl_roundtrip(spark, sf_dir)
+    n = first.count()
+    assert n > 0
+    assert dict(first.dtypes)["stock"] == "int"
+    assert dict(first.dtypes)["loaded_at"] == "timestamp"
+    # current database untouched (create_tables must not USE)
+    assert spark.catalog.currentDatabase() == "default"
+    # re-run in the SAME session: INSERT OVERWRITE keeps it idempotent
+    assert q_ddl_roundtrip(spark, sf_dir).count() == n
+
+
+def test_audit_columns_contract(spark, sf_dir):
+    out = q_audit_columns(spark, sf_dir)
+    assert out.filter(~F.col("loaded_at_set")).count() == 0
+    tags = out.select("data_source").distinct().collect()
+    assert [r["data_source"] for r in tags] == ["amazon_sale"]
+
+
+def test_summary_stats_exact_vs_known(spark):
+    from kaggle_ecommerce_etl_spark.normalize.profile import summary_stats_exact
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in (1, 2, 3, 4)], ["x"]
+    )
+    row = summary_stats_exact(df, ["x"]).collect()[0]
+    assert row["cnt"] == 4 and row["mean"] == 2.5
+    assert row["min_v"] == 1.0 and row["max_v"] == 4.0
+    # exact linear-interpolated quartiles of {1,2,3,4}
+    assert (row["p25"], row["p50"], row["p75"]) == (1.75, 2.5, 3.25)
+    assert abs(row["stddev"] - 1.290994) < 1e-6
 
 
 def test_categorical_profile_values(spark, sf_dir):

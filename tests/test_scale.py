@@ -1,0 +1,104 @@
+"""Scale-pattern tests (operators/scale.py): these assert the PHYSICAL
+plan properties the 100 TB posture depends on, not just values — values
+are covered by the DuckDB oracles (scripts/check_oracle.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.operators.scale import (
+    read_pruned,
+    salted_join,
+    write_bucketed,
+    write_partitioned,
+)
+import kaggle_ecommerce_etl_spark.queries_ext as qx
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_bucketed_join_no_exchange(spark, sf_dir, tmp_path):
+    db = "t_bkt"
+    spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+    spark.sql(f"CREATE DATABASE {db} LOCATION '{tmp_path}/wh'")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_quantity"
+    )
+    ot = write_bucketed(o, "orders_b", "o_orderkey", buckets=4, database=db)
+    lt = write_bucketed(li, "lineitem_b", "l_orderkey", buckets=4, database=db)
+    # at test SF everything is broadcastable, which sidesteps bucketing
+    # entirely; disable auto-broadcast to surface the co-located
+    # sort-merge join the bucketing exists for at scale
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table(lt).join(
+            spark.table(ot), F.col("l_orderkey") == F.col("o_orderkey")
+        )
+        joined.collect()
+        plan = _plan(joined)
+        # the whole point: co-located buckets -> no shuffle, no re-sort
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() == li.join(o, li.l_orderkey == o.o_orderkey).count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_join_equals_plain(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        (F.col("l_orderkey") % 3).alias("k"), "l_quantity"
+    )
+    dim = spark.range(3).select(
+        F.col("id").alias("k"), F.concat(F.lit("v"), "id").alias("label")
+    )
+    salted = salted_join(li, dim, ["k"], n_salts=4)
+    plain = li.join(dim, "k")
+    assert salted.count() == plain.count()
+    a = salted.groupBy("label").agg(F.sum("l_quantity").alias("s")).collect()
+    b = plain.groupBy("label").agg(F.sum("l_quantity").alias("s")).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_salted_join_left_and_rejects_right(spark):
+    big = spark.createDataFrame([(1, "a"), (2, "b"), (9, "no-match")], ["k", "v"])
+    dim = spark.createDataFrame([(1, "one"), (2, "two")], ["k", "label"])
+    out = salted_join(big, dim, ["k"], n_salts=4, how="left").collect()
+    assert len(out) == 3  # unmatched big row survives exactly once
+    assert {r["label"] for r in out} == {"one", "two", None}
+    try:
+        salted_join(big, dim, ["k"], how="full")
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
+
+
+def test_partition_pruned_scan(spark, sf_dir, tmp_path):
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    path = str(tmp_path / "part")
+    write_partitioned(o, path, ["o_orderstatus"])
+    back = read_pruned(spark, path, o_orderstatus="F")
+    plan = _plan(back)
+    assert "PartitionFilters" in plan
+    assert "o_orderstatus = F" in plan or "o_orderstatus" in plan.split(
+        "PartitionFilters"
+    )[1][:200]
+    n_f = o.filter(F.col("o_orderstatus") == "F").count()
+    assert back.count() == n_f
+
+
+def test_scale_queries_values(spark, sf_dir):
+    # cheap structural sanity on the registry entries (values vs DuckDB
+    # are the oracle gate's job)
+    agg = qx.q_bucketed_join_agg(spark, sf_dir)
+    assert agg.count() == 5  # one row per o_orderpriority
+    pruned = qx.q_partition_pruned_read(spark, sf_dir)
+    assert pruned.select("o_orderstatus").distinct().count() == 1
