@@ -249,3 +249,61 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id1: str = "id1",
+    id2: str = "id2",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair set → cluster
+    label per member (min id in the component), the step that turns
+    pairwise dedup output into "keep one canonical doc per group".
+
+    Iterative min-label propagation: each round every node takes the
+    min of its own label and its neighbors' labels — one equi-join +
+    one groupBy(min) per round, both shuffling on id. Converges in
+    O(component diameter) rounds; near-dup components are near-cliques
+    (diameter ≤ ~3), so the default cap is generous. Rounds stop early
+    at fixpoint (one count per round — the driver's only role).
+    ``localCheckpoint`` truncates lineage each round so the plan stays
+    O(1) deep instead of O(rounds); on a real cluster prefer a
+    reliable checkpoint dir for fault tolerance on long chains.
+
+    Output: (id, cluster) for every id appearing in ``pairs``.
+    Singletons never appear — callers left-join and coalesce to the
+    row's own id.
+    """
+    edges = (
+        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
+        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("cluster", F.col("id"))
+        .localCheckpoint(eager=False)
+    )
+    for _ in range(max_iter):
+        nbr = edges.join(
+            labels, edges.dst == labels.id
+        ).select(F.col("src").alias("id"), "cluster")
+        new_labels = (
+            labels.union(nbr)
+            .groupBy("id")
+            .agg(F.min("cluster").alias("cluster"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

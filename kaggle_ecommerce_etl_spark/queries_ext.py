@@ -855,6 +855,145 @@ FROM orders WHERE o_orderstatus = 'F'
 """
 
 
+# --------------------------------------------------------------------------
+# dedup clustering, SCD2 versioning, corpus token stats
+# --------------------------------------------------------------------------
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup groups end-to-end: minhash → LSH banding → candidate
+    pairs → iterative connected components (functions.dedup_ml.
+    dup_clusters) → one canonical doc per cluster. The iterative
+    min-label propagation is oracle-checked against a DuckDB RECURSIVE
+    CTE transitive closure over the SAME pair SQL — an exact-value
+    check of an iterative algorithm."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = lsh_candidate_pairs(minhash_signatures(docs))
+    labels = dup_clusters(pairs)
+    return (
+        docs.select("doc_id")
+        .join(labels, docs.doc_id == labels.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+def _oracle_dup_clusters() -> str:
+    from kaggle_ecommerce_etl_spark.queries import (
+        _SHINGLE_SQL,
+        _band_sql,
+        _mh_sql,
+    )
+
+    shingle = _SHINGLE_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    cand_union = " UNION ".join(
+        f"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+    return (
+        shingle
+        + ", sigs AS (SELECT doc_id, "
+        + ", ".join(_mh_sql(i) for i in range(8))
+        + " FROM s), bands AS (SELECT doc_id, "
+        + ", ".join(_band_sql(b) for b in range(4))
+        + " FROM sigs), cand AS ("
+        + cand_union
+        + """),
+edges AS (SELECT id1 AS src, id2 AS dst FROM cand
+          UNION SELECT id2, id1 FROM cand),
+reach(id, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT d.doc_id,
+       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+       d.doc_id = COALESCE(cc.cluster_id, d.doc_id) AS is_canonical
+FROM documents d LEFT JOIN cc ON d.doc_id = cc.id
+"""
+    )
+
+
+def q_scd2_versions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2-style record versioning: per-key version numbers and
+    [valid_from, valid_to) windows from one window spec (lead), the
+    open-ended current row flagged. One shuffle on the key — the
+    warehouse-history staple for CDC feeds."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+    ).withColumns(
+        {
+            "version": F.row_number().over(w),
+            "valid_to": F.lead("valid_from").over(w),
+        }
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+ORACLE_SCD2 = """
+SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+       ROW_NUMBER() OVER w AS version,
+       LEAD(o_orderdate) OVER w AS valid_to,
+       LEAD(o_orderdate) OVER w IS NULL AS is_current
+FROM orders WHERE o_custkey % 50 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_token_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per language — the pre-training mix
+    report: doc counts, mean/median/p95 token lengths (exact
+    percentiles — the oracle-checkable twin of the approx path), total
+    characters. One groupBy over |langs| groups."""
+    from kaggle_ecommerce_etl_spark.functions.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "lang",
+        "n_chars",
+        token_count_expr(F.col("text")).alias("n_tokens"),
+    )
+    return tk.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.avg("n_tokens"), 6).alias("mean_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 6).alias("p50_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.95)"), 6).alias("p95_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+ORACLE_TOKEN_STATS = """
+WITH tk AS (
+  SELECT lang, n_chars,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT lang,
+       COUNT(*) AS n_docs,
+       round(AVG(n_tokens), 6) AS mean_tokens,
+       round(quantile_cont(n_tokens, 0.5), 6) AS p50_tokens,
+       round(quantile_cont(n_tokens, 0.95), 6) AS p95_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM tk GROUP BY lang
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -884,4 +1023,22 @@ EXT_REGISTRY = {
     "bucketed_join_agg": (q_bucketed_join_agg, ORACLE_BUCKETED_JOIN),
     "salted_skew_join": (q_salted_skew_join, ORACLE_SALTED_JOIN),
     "partition_pruned_read": (q_partition_pruned_read, ORACLE_PARTITION_PRUNED),
+    # dedup clustering / versioning / corpus stats / schema drift
+    "dup_clusters": (q_dup_clusters, _oracle_dup_clusters()),
+    "scd2_versions": (q_scd2_versions, ORACLE_SCD2),
+    "token_stats_by_lang": (q_token_stats_by_lang, ORACLE_TOKEN_STATS),
 }
+
+
+def _append_drift() -> None:
+    # bottom import: queries_pipeline is fully initialized by the time
+    # queries.py merges this module
+    from kaggle_ecommerce_etl_spark.queries_pipeline import (
+        ORACLE_SCHEMA_DRIFT,
+        q_schema_drift_merge,
+    )
+
+    EXT_REGISTRY["schema_drift_merge"] = (q_schema_drift_merge, ORACLE_SCHEMA_DRIFT)
+
+
+_append_drift()

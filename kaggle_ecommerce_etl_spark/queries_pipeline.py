@@ -636,6 +636,45 @@ FROM long GROUP BY col_name
 
 
 # --------------------------------------------------------------------------
+# schema drift — mergeSchema union read over evolving batches
+# --------------------------------------------------------------------------
+
+def q_schema_drift_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two parquet batches with DIFFERENT schemas (a column added, a
+    column dropped — the schema-drift the reference's per-file pandas
+    cleaning absorbs by hand) read back as ONE DataFrame via
+    ``mergeSchema``: footer-level union of schemas, absent columns
+    NULL-filled, no rewrite of old batches. At 100 TB this is how a
+    years-old landing zone keeps reading after the producer evolves."""
+    base = _fixture_path(sf_dir, "drift")
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    b1 = o.filter(k % 100 == 3).select(
+        "o_orderkey", "o_orderstatus", F.lit("v1").alias("batch")
+    )
+    b2 = o.filter(k % 100 == 4).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),  # added column
+        F.lit("v2").alias("batch"),                 # o_orderstatus dropped
+    )
+    b1.write.mode("overwrite").parquet(f"{base}/b1")
+    b2.write.mode("overwrite").parquet(f"{base}/b2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{base}/b1", f"{base}/b2"
+    )
+    return merged.select("o_orderkey", "o_orderstatus", "total", "batch")
+
+
+ORACLE_SCHEMA_DRIFT = """
+SELECT o_orderkey, o_orderstatus, CAST(NULL AS DOUBLE) AS total, 'v1' AS batch
+FROM orders WHERE o_orderkey % 100 = 3
+UNION ALL
+SELECT o_orderkey, CAST(NULL AS VARCHAR), round(o_totalprice, 2), 'v2'
+FROM orders WHERE o_orderkey % 100 = 4
+"""
+
+
+# --------------------------------------------------------------------------
 # op 19 — categorical describe (unique/top/freq, reference pg.py:39-40)
 # --------------------------------------------------------------------------
 
@@ -676,4 +715,6 @@ PIPELINE_REGISTRY = {
     "audit_columns": (q_audit_columns, ORACLE_AUDIT),
     "summary_stats_exact": (q_summary_stats_exact, ORACLE_SUMMARY_EXACT),
     "categorical_profile": (q_categorical_profile, ORACLE_CATEGORICAL),
+    # schema_drift_merge lives in queries_ext's registry region (not a
+    # §2 op, so it must not consume a driver-checked top-50 slot)
 }

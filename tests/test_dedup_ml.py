@@ -66,3 +66,26 @@ def test_jaccard_exact_values(spark):
 def test_jaccard_threshold_filters(spark):
     out = ngram_jaccard_pairs(_docs(spark), threshold=0.9, use_shingles=False)
     assert {(r.id1, r.id2) for r in out.collect()} == {(1, 4)}
+
+
+def test_dup_clusters_known_graph(spark):
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import dup_clusters
+
+    # chain 1-2-3 (diameter 2, needs >1 round), pair 10-11, sep. 20-21
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (21, 20)], ["id1", "id2"]
+    )
+    got = {r["id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
+def test_dup_clusters_long_chain_converges(spark):
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import dup_clusters
+
+    # 12-node chain: diameter 11 > default near-clique assumption —
+    # exercises the fixpoint loop over many rounds
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["id1", "id2"]
+    )
+    got = {r["id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
+    assert set(got.values()) == {0}
