@@ -1,0 +1,151 @@
+"""Temporal joins Spark lacks as built-ins: as-of join and bucketed
+range join.
+
+Neither exists in the reference (its only temporal logic is the
+recency window, ecommerce_s3_to_pg.py:74-121) — these are the
+training-/feature-pipeline extensions (SURVEY.md §7 step 7): "state of
+the dimension as-of the event" (point-in-time correctness for feature
+generation) and "events inside an interval" (windowed attribution).
+
+Both are implemented as compositions of existing DataFrame ops —
+no UDFs, no driver participation — so Catalyst/AQE keep optimizing
+them:
+
+- ``asof_join``: the union-window shape. Tag both sides, union, one
+  window per key ordered by (ts, side) carrying the right payload
+  forward with ``last(ignorenulls)``, keep left rows. ONE shuffle
+  (the window partitionBy), no join at all — at 100 TB this beats any
+  per-key ``merge_asof`` UDF because state never leaves the JVM and
+  skewed keys still sort-merge within a partition.
+- ``range_join``: explode the interval side into coarse buckets and
+  equi-join on (key, bucket) before applying the exact range
+  predicate. Catalyst would otherwise plan key-equality + range as a
+  join with a post-filter, which is fine — the bucketed form exists
+  for the KEYLESS/low-key-cardinality case where the plain join
+  degenerates toward a broadcast-nested-loop cross product.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = ["asof_join", "range_join_bucketed"]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    direction: str = "backward",
+) -> DataFrame:
+    """For every left row, attach the single right row with the
+    nearest ``right_ts <= left_ts`` (backward; ``>=`` for forward)
+    within the same ``on`` key group — DuckDB/pandas ``ASOF JOIN``
+    semantics, left-outer flavor (unmatched left rows keep NULLs).
+
+    Contract: ``(on, right_ts)`` must be unique on the right side —
+    ties there make "the" as-of row ill-defined (pre-aggregate with
+    ``max_by`` if needed). Left columns pass through unchanged; right
+    payload columns are appended (names must not collide).
+
+    Plan shape: union both sides → ONE window over ``on`` ordered by
+    (ts, side) → filter to left rows. Right rows sort before left
+    rows at equal ts, so an event AT a dimension-change timestamp
+    sees the new state, matching ``ts_l >= ts_r``.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+
+    l_tag = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+    )
+    r_tag = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in left.columns
+            if c not in on
+        ],
+        *payload,
+    )
+    ts_order: Column = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_order, F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = l_tag.unionByName(r_tag).select(
+        *on,
+        "__ts",
+        "__side",
+        *[F.col(c) for c in left.columns if c not in on],
+        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+    )
+    out_cols = [c for c in left.columns if c not in on]
+    return (
+        carried.filter(F.col("__side") == 1)
+        .drop("__side")
+        .withColumnRenamed("__ts", left_ts)
+        .select(*on, *out_cols, *payload)
+        if left_ts not in on
+        else carried.filter(F.col("__side") == 1).select(*on, *out_cols, *payload)
+    )
+
+
+def range_join_bucketed(
+    events: DataFrame,
+    intervals: DataFrame,
+    event_key: str,
+    interval_key: str,
+    event_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 day",
+) -> DataFrame:
+    """Inner-join events to intervals with
+    ``start <= event_ts < end`` (plus key equality), via bucketing.
+
+    The interval side explodes into one row per ``bucket``-sized slot
+    it overlaps; the event side maps to its single slot; the join is a
+    plain equi-join on (key, slot) with the exact range predicate as a
+    residual filter. Shuffle volume grows with interval length /
+    bucket, not |events| × |intervals| — choose ``bucket`` near the
+    median interval length. Only ``date_trunc``-expressible buckets
+    ('1 day', '1 hour') are supported to keep slot math exact.
+    """
+    unit = {"1 day": "DAY", "1 hour": "HOUR"}.get(bucket)
+    if unit is None:
+        raise ValueError(f"unsupported bucket: {bucket!r}")
+    slots = F.expr(
+        f"sequence(date_trunc('{unit}', {start_col}), "
+        f"date_trunc('{unit}', {end_col}), interval {bucket})"
+    )
+    iv = intervals.withColumn("__slot", F.explode(slots))
+    ev = events.withColumn("__slot", F.date_trunc(unit, F.col(event_ts)))
+    return (
+        ev.join(
+            iv,
+            (F.col(event_key) == F.col(interval_key))
+            & (ev["__slot"] == iv["__slot"]),
+        )
+        .filter(
+            (F.col(event_ts) >= F.col(start_col))
+            & (F.col(event_ts) < F.col(end_col))
+        )
+        .drop("__slot")
+    )

@@ -70,12 +70,17 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # isNull-heavy filters (transform / mostly-null queries)
     spark.conf.set("spark.sql.constraintPropagation.enabled", "false")
     if name == "events":
-        # events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
-        # reader rejects; read ns as long, floor-div to micros (identical
-        # to DuckDB's ns→µs truncation).
+        # events.parquet has shipped as TIMESTAMP(NANOS) in some testdata
+        # generations, which Spark's vectorized reader rejects: with
+        # nanosAsLong set, ns arrives as long and is floor-div'ed to
+        # micros (identical to DuckDB's ns→µs truncation). Other
+        # generations store TIMESTAMP(MICROS), where the same read
+        # yields a timestamp directly — branch on the landed type.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-        return ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        if dict(ev.dtypes)["ts"] == "bigint":
+            ev = ev.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return ev
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
