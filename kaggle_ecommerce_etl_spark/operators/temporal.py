@@ -63,22 +63,19 @@ def asof_join(
     if clash:
         raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
 
+    l_pass = [c for c in left.columns if c not in on and c != left_ts]
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
-        *[F.col(c) for c in left.columns if c not in on],
+        *l_pass,
         *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
     )
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
-        *[
-            F.lit(None).cast(left.schema[c].dataType).alias(c)
-            for c in left.columns
-            if c not in on
-        ],
+        *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_pass],
         *payload,
     )
     ts_order: Column = (
@@ -93,18 +90,12 @@ def asof_join(
         *on,
         "__ts",
         "__side",
-        *[F.col(c) for c in left.columns if c not in on],
+        *l_pass,
         *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
     )
-    out_cols = [c for c in left.columns if c not in on]
-    return (
-        carried.filter(F.col("__side") == 1)
-        .drop("__side")
-        .withColumnRenamed("__ts", left_ts)
-        .select(*on, *out_cols, *payload)
-        if left_ts not in on
-        else carried.filter(F.col("__side") == 1).select(*on, *out_cols, *payload)
-    )
+    out = carried.filter(F.col("__side") == 1).withColumnRenamed("__ts", left_ts)
+    # restore the left frame's column order, payload appended
+    return out.select(*left.columns, *payload)
 
 
 def range_join_bucketed(

@@ -1418,8 +1418,14 @@ def _merge_pipeline() -> None:
 
 def _merge_extensions() -> None:
     # bottom-of-module import: queries_ext imports _t from this module
-    from kaggle_ecommerce_etl_spark.queries_ext import EXT_REGISTRY
-
+    try:
+        from kaggle_ecommerce_etl_spark.queries_ext import EXT_REGISTRY
+    except ImportError:
+        # queries_ext is mid-import (a caller imported IT first and it
+        # pulled this module in): its tail calls back into
+        # _merge_extensions once EXT_REGISTRY exists, so the surface is
+        # identical under either import order.
+        return
     REGISTRY.update(EXT_REGISTRY)
 
 

@@ -994,6 +994,81 @@ FROM tk GROUP BY lang
 """
 
 
+def q_asof_join_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time correctness: each event sees the customer's most
+    recent order AS-OF the event timestamp (feature-generation shape —
+    no leakage from future orders). Right side pre-aggregated to one
+    deterministic row per (customer, date) with ``max_by``; the as-of
+    itself is the union-window operator (one shuffle, no join)."""
+    from kaggle_ecommerce_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("asof_orderkey"),
+            F.expr("max_by(o_totalprice, o_orderkey)").alias("asof_totalprice"),
+        )
+    )
+    out = asof_join(ev, r, on=["user_id"], left_ts="ts", right_ts="o_orderdate")
+    return out.select("event_id", "user_id", "asof_orderkey", "asof_totalprice")
+
+
+ORACLE_ASOF = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS asof_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS asof_totalprice
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.asof_orderkey, r.asof_totalprice
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+def q_event_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) join: every purchase opens a 1-hour attribution
+    window; count/sum the same user's events inside it. Runs through
+    the bucketed range join — equi-join on (user, hour-slot) with the
+    exact range as residual — so shuffle volume is O(|events| +
+    window-hours), never the |triggers|×|events| theta product."""
+    from kaggle_ecommerce_etl_spark.operators.temporal import range_join_bucketed
+
+    ev = _t(spark, sf_dir, "events")
+    triggers = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("trigger_id"),
+        F.col("user_id").alias("t_user"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    )
+    joined = range_join_bucketed(
+        ev.select("user_id", "ts", "value"),
+        triggers,
+        event_key="user_id",
+        interval_key="t_user",
+        event_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket="1 hour",
+    )
+    return joined.groupBy("trigger_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+ORACLE_ATTRIBUTION = """
+SELECT t.event_id AS trigger_id, count(*) AS n_events,
+       round(sum(e.value), 2) AS sum_value
+FROM events t JOIN events e
+  ON e.user_id = t.user_id AND e.ts >= t.ts AND e.ts < t.ts + INTERVAL 1 HOUR
+WHERE t.event_type = 'purchase'
+GROUP BY 1
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1027,6 +1102,9 @@ EXT_REGISTRY = {
     "dup_clusters": (q_dup_clusters, _oracle_dup_clusters()),
     "scd2_versions": (q_scd2_versions, ORACLE_SCD2),
     "token_stats_by_lang": (q_token_stats_by_lang, ORACLE_TOKEN_STATS),
+    # temporal joins (operators/temporal.py)
+    "asof_join_orders": (q_asof_join_orders, ORACLE_ASOF),
+    "event_attribution": (q_event_attribution, ORACLE_ATTRIBUTION),
 }
 
 
@@ -1042,3 +1120,16 @@ def _append_drift() -> None:
 
 
 _append_drift()
+
+
+def _push_into_base() -> None:
+    """Make the merged surface import-order-proof: if a caller imported
+    queries_ext FIRST, queries.py's bottom-of-module _merge_extensions
+    ran while EXT_REGISTRY didn't exist yet and skipped — push from
+    this side now that it does (idempotent under the normal order)."""
+    from kaggle_ecommerce_etl_spark import queries as _q
+
+    _q.REGISTRY.update(EXT_REGISTRY)
+
+
+_push_into_base()

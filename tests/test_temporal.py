@@ -1,0 +1,118 @@
+"""Unit tests for operators/temporal.py — as-of join and bucketed
+range join semantics on small hand-built frames, plus equivalence of
+the bucketed range join with the naive theta-join plan."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.operators.temporal import (
+    asof_join,
+    range_join_bucketed,
+)
+
+
+def _ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def frames(spark):
+    left = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), "a"),
+            (1, _ts("2024-01-01 12:00:00"), "b"),
+            (1, _ts("2024-01-01 09:00:00"), "pre"),  # before any right row
+            (2, _ts("2024-01-01 10:30:00"), "c"),
+            (3, _ts("2024-01-01 10:30:00"), "nokey"),  # key absent on right
+        ],
+        "k int, ts timestamp, tag string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 09:30:00"), 100.0),
+            (1, _ts("2024-01-01 10:00:00"), 200.0),  # ties left ts exactly
+            (1, _ts("2024-01-01 11:00:00"), 300.0),
+            (2, _ts("2024-01-01 10:00:00"), 400.0),
+        ],
+        "k int, rts timestamp, price double",
+    )
+    return left, right
+
+
+def test_asof_backward(frames):
+    left, right = frames
+    out = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+    got = {r["tag"]: r["price"] for r in out.collect()}
+    # equal timestamps match (>=); later right rows are invisible
+    assert got == {"a": 200.0, "b": 300.0, "pre": None, "c": 400.0, "nokey": None}
+    # left row count and columns preserved, payload appended
+    assert out.count() == left.count()
+    assert out.columns == ["k", "ts", "tag", "price"]
+
+
+def test_asof_forward(frames):
+    left, right = frames
+    out = asof_join(
+        left, right, on=["k"], left_ts="ts", right_ts="rts", direction="forward"
+    )
+    got = {r["tag"]: r["price"] for r in out.collect()}
+    # nearest right row with rts >= ts
+    assert got == {"a": 200.0, "b": None, "pre": 100.0, "c": None, "nokey": None}
+
+
+def test_asof_rejects_collisions_and_bad_direction(frames):
+    left, right = frames
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts", direction="x")
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(
+            left,
+            right.withColumnRenamed("price", "tag"),
+            on=["k"],
+            left_ts="ts",
+            right_ts="rts",
+        )
+
+
+def test_range_join_matches_naive_theta_join(spark, sf_dir):
+    """Bucketed plan ≡ naive key-equality + range filter, on real
+    events at sf0.001 with a 1-hour window."""
+    from kaggle_ecommerce_etl_spark.queries import _t
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    iv = ev.select(
+        F.col("event_id").alias("iv_id"),
+        F.col("user_id").alias("iv_user"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("w_end"),
+    ).limit(50)
+    bucketed = range_join_bucketed(
+        ev,
+        iv,
+        event_key="user_id",
+        interval_key="iv_user",
+        event_ts="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bucket="1 hour",
+    ).select("iv_id", "event_id")
+    naive = ev.join(
+        iv,
+        (F.col("user_id") == F.col("iv_user"))
+        & (F.col("ts") >= F.col("w_start"))
+        & (F.col("ts") < F.col("w_end")),
+    ).select("iv_id", "event_id")
+    assert sorted(map(tuple, bucketed.collect())) == sorted(
+        map(tuple, naive.collect())
+    )
+    assert bucketed.count() > 0
+
+
+def test_range_join_rejects_unknown_bucket(spark):
+    df = spark.range(1)
+    with pytest.raises(ValueError, match="bucket"):
+        range_join_bucketed(df, df, "id", "id", "id", "id", "id", bucket="3 ms")
