@@ -104,3 +104,49 @@ def fingerprint_expr(col: Column) -> Column:
     """md5 of lower/trim/whitespace-collapsed text — the exact-dedup key."""
     norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
     return F.md5(norm.cast("binary"))
+
+
+def winnow_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text",
+                        n: int = 3, w: int = 4):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    MOSS): hash every n-word shingle, slide a w-hash window over the
+    sequence, keep each window's MIN hash. Guarantees any shared run
+    of ≥ n+w-1 words between two documents shares ≥ 1 fingerprint,
+    with ~2/(w+1) selection density — a position-robust near-dup /
+    plagiarism index far smaller than the full shingle set.
+
+    All expression-level (split → transform/slice/md5 → posexplode →
+    one window per doc): whole-stage codegen, one shuffle (the
+    per-doc window), no UDF. Docs shorter than n words have no
+    shingles and are skipped; docs with fewer than w shingles emit
+    the min of what they have (pos-1 window only).
+
+    Returns distinct (doc_id, fp) rows; fp = first 16 hex chars of
+    the shingle md5 (collision odds at 64 bits are negligible for an
+    index; the exact-dedup path uses the full digest)."""
+    from pyspark.sql import Window
+
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    d = docs.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
+        F.size("w") >= n
+    )
+    hashes = F.expr(
+        f"transform(sequence(1, size(w) - {n - 1}), "
+        f"i -> substring(md5(concat_ws(' ', slice(w, i, {n}))), 1, 16))"
+    )
+    sh = d.select(
+        "doc_id",
+        (F.size("w") - (n - 1)).alias("m_sh"),
+        F.posexplode(hashes).alias("pos0", "h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos0")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    return (
+        sh.withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos0") + 1 <= F.greatest(F.col("m_sh") - (w - 1), F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+    )

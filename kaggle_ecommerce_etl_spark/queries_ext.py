@@ -1069,6 +1069,40 @@ GROUP BY 1
 """
 
 
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprint index over the documents corpus —
+    see functions/text.py:winnow_fingerprints for the guarantee and
+    plan shape (expressions + one per-doc window, no UDF)."""
+    from kaggle_ecommerce_etl_spark.functions.text import winnow_fingerprints
+
+    return winnow_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_WINNOW = """
+WITH ws AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+),
+sh0 AS (
+  SELECT doc_id, len(w) - 2 AS m_sh,
+         list_transform(range(1, len(w) - 1),
+                        i -> substr(md5(array_to_string(w[i:i+2], ' ')), 1, 16)) AS hs
+  FROM ws
+),
+sh AS (
+  SELECT doc_id, m_sh, unnest(hs) AS h, generate_subscripts(hs, 1) AS pos FROM sh0
+),
+wn AS (
+  SELECT doc_id, pos, m_sh,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+  FROM sh
+)
+SELECT DISTINCT doc_id, fp FROM wn
+WHERE pos <= greatest(m_sh - 3, 1)
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1105,6 +1139,7 @@ EXT_REGISTRY = {
     # temporal joins (operators/temporal.py)
     "asof_join_orders": (q_asof_join_orders, ORACLE_ASOF),
     "event_attribution": (q_event_attribution, ORACLE_ATTRIBUTION),
+    "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
 }
 
 

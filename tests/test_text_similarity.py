@@ -80,3 +80,30 @@ def test_lsh_bucket_topk_structure(spark, sf_dir):
         assert r.query_id != r.neighbor_id
         assert 1 <= r.rank <= 5
         assert -1.0 <= r.sim <= 1.0
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: documents sharing a run of >= n+w-1 (= 6)
+    words share at least one fingerprint; disjoint docs share none."""
+    from kaggle_ecommerce_etl_spark.functions.text import winnow_fingerprints
+
+    shared = "the quick brown fox jumps over"  # 6-word shared run
+    docs = spark.createDataFrame(
+        [
+            (1, f"alpha beta {shared} gamma delta"),
+            (2, f"one two three {shared} four"),
+            (3, "entirely different words with no overlap here at all"),
+            (4, "tiny doc"),  # < n words: no fingerprints
+        ],
+        "doc_id long, text string",
+    )
+    fps = winnow_fingerprints(docs).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], "shared 6-word run must share a fingerprint"
+    assert not (by_doc[1] & by_doc[3]) and not (by_doc[2] & by_doc[3])
+    assert 4 not in by_doc
+    # density: never more fingerprints than shingles
+    for did, n_words in [(1, 10), (2, 10), (3, 9)]:
+        assert 1 <= len(by_doc[did]) <= n_words - 2
