@@ -91,6 +91,91 @@ def extract_features(df: DataFrame, dim: int = 8, strict: bool = False) -> DataF
     return df.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
+FRAME_SCHEMA = "media_id bigint, frame_idx int, n_frames int, frame_md5 string"
+
+RESIZE_SCHEMA = "media_id bigint, width int, height int, pixels array<float>"
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_chars: int = 256,
+    every_n: int = 2,
+    strict: bool = False,
+) -> DataFrame:
+    """Video-style frame sampling over media blobs via mapInPandas:
+    "decode" each blob, split into fixed-size frames, keep every
+    ``every_n``-th frame, emit a digest per kept frame.
+
+    The fake codec is UTF-8 decode + fixed character windows (so the
+    result is SQL-oracle-checkable digest-for-digest); a real build
+    replaces ONLY the per-blob body with pyav/ffmpeg keyframe
+    extraction — the Spark plumbing (Arrow batches in, long-format
+    frame rows out, blob column pruned after this node) is the real
+    pattern. ``strict=True`` raises where the codec would run."""
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "n_frames": [], "frame_md5": []
+            }
+            for mid, blob in zip(pdf["media_id"], pdf["blob"]):
+                if strict:
+                    raise NotImplementedError(
+                        "no media codecs in this environment"
+                    )
+                text = bytes(blob).decode("utf-8") if blob is not None else ""
+                n_frames = (len(text) + frame_chars - 1) // frame_chars
+                for idx in range(0, n_frames, every_n):
+                    chunk = text[idx * frame_chars : (idx + 1) * frame_chars]
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n_frames)
+                    out["frame_md5"].append(
+                        hashlib.md5(chunk.encode("utf-8")).hexdigest()
+                    )
+            yield pd.DataFrame(out)
+
+    return df.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+def resize_image(
+    df: DataFrame, width: int = 4, height: int = 4, strict: bool = False
+) -> DataFrame:
+    """Image-style resize via mapInPandas: each blob becomes a
+    width×height float grid. Fake codec = evenly-strided byte samples
+    normalized to [0,1]; a real build swaps in PIL/opencv decode +
+    interpolation. Deterministic, so downstream embedding/similarity
+    stages can be tested end-to-end."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            pixels = []
+            for blob in pdf["blob"]:
+                if strict:
+                    raise NotImplementedError(
+                        "no media codecs in this environment"
+                    )
+                b = bytes(blob) if blob is not None else b""
+                n_px = width * height
+                if not b:
+                    pixels.append([0.0] * n_px)
+                    continue
+                pixels.append(
+                    [round(b[(i * len(b)) // n_px] / 255.0, 6) for i in range(n_px)]
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": width,
+                    "height": height,
+                    "pixels": pixels,
+                }
+            )
+
+    return df.mapInPandas(batches, schema=RESIZE_SCHEMA)
+
+
 def dedup_by_content(df: DataFrame) -> DataFrame:
     """Exact media dedup on the content hash — metadata-only plan."""
     return df.groupBy("sha").agg(

@@ -1103,6 +1103,37 @@ WHERE pos <= greatest(m_sh - 3, 1)
 """
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over media blobs (documents wrapped as
+    text/plain media): every 2nd 256-char frame, digest per frame.
+    Exercises the full binary→mapInPandas→long-format plumbing of
+    functions/multimodal.py against a SQL oracle."""
+    from kaggle_ecommerce_etl_spark.functions.multimodal import (
+        sample_frames,
+        wrap_as_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    return sample_frames(wrap_as_media(docs, "doc_id", "text", "text/plain"))
+
+
+ORACLE_FRAME_SAMPLE = """
+WITH m AS (
+  SELECT doc_id AS media_id, text,
+         CAST(ceil(len(text) / 256.0) AS INT) AS n_frames
+  FROM documents WHERE len(text) > 0
+),
+f AS (
+  SELECT media_id, text, n_frames,
+         CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+  FROM m
+)
+SELECT media_id, frame_idx, n_frames,
+       md5(substr(text, frame_idx * 256 + 1, 256)) AS frame_md5
+FROM f
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1140,6 +1171,7 @@ EXT_REGISTRY = {
     "asof_join_orders": (q_asof_join_orders, ORACLE_ASOF),
     "event_attribution": (q_event_attribution, ORACLE_ATTRIBUTION),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
+    "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
 }
 
 
