@@ -94,3 +94,54 @@ def read_pruned(
     for col, val in partition_values.items():
         df = df.filter(F.col(col) == val)
     return df
+
+
+def deterministic_bucket(key, denom: int = 1000):
+    """Stable [0, denom) bucket from an md5-derived 32-bit prefix of
+    the key — reproducible across runs, engines and cluster sizes
+    (unlike ``rand()`` or ``hash()``, whose values are
+    seed/JVM-specific). The common currency of hash_sample /
+    stratified_sample and their SQL oracles."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(key.cast("string").cast("binary")), 1, 8), 16, 10
+        ).cast("long"),
+        F.lit(denom),
+    )
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    key_col: str,
+    rates: dict[str, float],
+    default_rate: float = 0.0,
+    denom: int = 1000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling — the dataset-mixing
+    primitive of a pre-training pipeline ("50% en, 30% zh, …").
+
+    Keeps a row iff its key bucket < rate(stratum)·denom. The rate
+    table broadcasts (strata cardinality is tiny); the filter is then
+    a pure scan-time expression: no shuffle, no sampling state, and
+    the SAME rows are kept on every run and every cluster size —
+    re-runs of a 100 TB mix job are idempotent.
+
+    Rates are quantized to 1/denom (default 0.1%); a stratum absent
+    from ``rates`` uses ``default_rate``.
+    """
+    spark = df.sparkSession
+    lookup = spark.createDataFrame(
+        [(k, int(round(v * denom))) for k, v in rates.items()],
+        f"{strata_col} string, __keep_lt int",
+    )
+    return (
+        df.join(F.broadcast(lookup), strata_col, "left")
+        .withColumn(
+            "__keep_lt",
+            F.coalesce(F.col("__keep_lt"), F.lit(int(round(default_rate * denom)))),
+        )
+        .filter(deterministic_bucket(F.col(key_col), denom) < F.col("__keep_lt"))
+        .drop("__keep_lt")
+        .select(*df.columns)
+    )

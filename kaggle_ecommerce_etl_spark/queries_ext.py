@@ -1134,6 +1134,32 @@ FROM f
 """
 
 
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-stratified deterministic sample of the corpus (the
+    pre-training mix: 50% en / 30% zh / 20% es / 10% de, default 5%)
+    — broadcast rate lookup + scan-time md5-bucket filter, no shuffle,
+    identical rows on every run/cluster size."""
+    from kaggle_ecommerce_etl_spark.operators.scale import stratified_sample
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    return stratified_sample(
+        d,
+        strata_col="lang",
+        key_col="doc_id",
+        rates={"en": 0.5, "zh": 0.3, "es": 0.2, "de": 0.1},
+        default_rate=0.05,
+    )
+
+
+ORACLE_STRATIFIED = """
+SELECT doc_id, lang, source, n_chars
+FROM documents
+WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000
+      < CASE lang WHEN 'en' THEN 500 WHEN 'zh' THEN 300
+                  WHEN 'es' THEN 200 WHEN 'de' THEN 100 ELSE 50 END
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1172,6 +1198,7 @@ EXT_REGISTRY = {
     "event_attribution": (q_event_attribution, ORACLE_ATTRIBUTION),
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
+    "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED),
 }
 
 

@@ -102,3 +102,29 @@ def test_scale_queries_values(spark, sf_dir):
     assert agg.count() == 5  # one row per o_orderpriority
     pruned = qx.q_partition_pruned_read(spark, sf_dir)
     assert pruned.select("o_orderstatus").distinct().count() == 1
+
+
+def test_stratified_sample_rates_and_determinism(spark, sf_dir):
+    from kaggle_ecommerce_etl_spark.operators.scale import stratified_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "lang"
+    )
+    rates = {"en": 1.0, "zh": 0.0}
+    out = stratified_sample(d, "lang", "doc_id", rates, default_rate=0.5)
+    rows = out.collect()
+    langs = {r.lang for r in rows}
+    n_en = sum(1 for r in rows if r.lang == "en")
+    total_en = d.filter("lang = 'en'").count()
+    assert n_en == total_en          # rate 1.0 keeps every row
+    assert "zh" not in langs         # rate 0.0 keeps none
+    # identical output on re-run (no sampling state)
+    again = stratified_sample(d, "lang", "doc_id", rates, default_rate=0.5)
+    assert sorted(r.doc_id for r in rows) == sorted(
+        r.doc_id for r in again.collect()
+    )
+    # column contract: input columns, unchanged order
+    assert out.columns == d.columns
+    # plan: broadcast lookup, no exchange introduced by the sample
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
