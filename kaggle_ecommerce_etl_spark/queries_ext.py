@@ -1160,6 +1160,34 @@ WHERE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT) % 1000
 """
 
 
+def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard pairs via PREFIX FILTERING (functions/
+    dedup_ml.jaccard_pairs_prefix): exact at every scale — same
+    result (and same oracle) as word_jaccard_pairs, but the inverted
+    index only ever holds each doc's ⌊(1−t)·|d|⌋+1 rarest tokens, so
+    hot-token posting lists never reach the join."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import jaccard_pairs_prefix
+
+    return jaccard_pairs_prefix(
+        _t(spark, sf_dir, "documents"), block_col="source", threshold=0.8
+    )
+
+
+ORACLE_JACCARD_PREFIX = """
+WITH base AS (SELECT doc_id, source,
+                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+              FROM documents),
+e AS (SELECT doc_id, source, len(toks) AS sz, unnest(toks) AS tok FROM base),
+j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2,
+             count(*) AS inter
+      FROM e a JOIN e b ON a.tok = b.tok AND a.source = b.source
+                        AND a.doc_id < b.doc_id
+      GROUP BY 1, 2, 3, 4)
+SELECT id1, id2, round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) AS jaccard
+FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.8
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1199,6 +1227,7 @@ EXT_REGISTRY = {
     "winnow_fingerprints": (q_winnow_fingerprints, ORACLE_WINNOW),
     "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED),
+    "jaccard_pairs_prefix": (q_jaccard_pairs_prefix, ORACLE_JACCARD_PREFIX),
 }
 
 

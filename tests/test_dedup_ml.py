@@ -89,3 +89,21 @@ def test_dup_clusters_long_chain_converges(spark):
     )
     got = {r["id"]: r["cluster"] for r in dup_clusters(pairs).collect()}
     assert set(got.values()) == {0}
+
+
+def test_prefix_filter_equals_unfiltered_jaccard(spark, sf_dir):
+    """Prefix filtering is EXACT: identical pairs to the plain
+    inverted-index join at the same threshold (no recall loss)."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        jaccard_pairs_prefix,
+        ngram_jaccard_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    plain = ngram_jaccard_pairs(
+        docs, threshold=0.6, use_shingles=False
+    ).collect()
+    pref = jaccard_pairs_prefix(docs, threshold=0.6).collect()
+    as_set = lambda rows: {(r.id1, r.id2, r.jaccard) for r in rows}
+    assert as_set(pref) == as_set(plain)
+    assert len(pref) > 0
