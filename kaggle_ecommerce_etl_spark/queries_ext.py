@@ -1188,6 +1188,58 @@ FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.8
 """
 
 
+def q_streaming_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming ON the correctness surface: a duplicated
+    events drop (every 3rd event appears twice across two files) is
+    streamed with Trigger.AvailableNow through streaming.dedup.
+    dedup_stream_exact, drained to completion, and the deduped result
+    returned — oracle = the original distinct rows. The checkpoint
+    tracks processed files exactly (SURVEY §2g: supersedes the
+    reference's lossy modified-in-last-Δ heuristic, pg.py:74-121).
+
+    The memory sink is the drain harness for THIS oracle check;
+    production uses foreachBatch → upsert_anti_join (tested in
+    tests/test_streaming_dedup.py)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from kaggle_ecommerce_etl_spark.streaming.dedup import dedup_stream_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    done = src_dir + "/_SPARK_GRAFT_READY"
+    if not os.path.exists(done):
+        dups = ev.filter(F.col("event_id") % 3 == 0)
+        ev.unionByName(dups).repartition(2).write.mode("overwrite").parquet(
+            src_dir
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    qname = "dedup_run_" + tag
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    query = (
+        dedup_stream_exact(stream, ["event_id"])
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+ORACLE_STREAMING_DEDUP = """
+SELECT event_id, user_id, event_type, value, ts FROM events
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1228,6 +1280,7 @@ EXT_REGISTRY = {
     "multimodal_frame_sample": (q_multimodal_frame_sample, ORACLE_FRAME_SAMPLE),
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED),
     "jaccard_pairs_prefix": (q_jaccard_pairs_prefix, ORACLE_JACCARD_PREFIX),
+    "streaming_dedup_run": (q_streaming_dedup_run, ORACLE_STREAMING_DEDUP),
 }
 
 
