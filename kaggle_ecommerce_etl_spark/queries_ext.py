@@ -1240,6 +1240,35 @@ SELECT event_id, user_id, event_type, value, ts FROM events
 """
 
 
+def q_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function window surface: percent_rank / cume_dist /
+    ntile over one per-priority window (single shuffle; total order
+    via the orderkey tiebreak)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        "o_totalprice", "o_orderkey"
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+ORACLE_RANK_FUNCS = """
+SELECT o_orderkey, o_orderpriority,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       ntile(4) OVER w AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1281,6 +1310,7 @@ EXT_REGISTRY = {
     "stratified_sample": (q_stratified_sample, ORACLE_STRATIFIED),
     "jaccard_pairs_prefix": (q_jaccard_pairs_prefix, ORACLE_JACCARD_PREFIX),
     "streaming_dedup_run": (q_streaming_dedup_run, ORACLE_STREAMING_DEDUP),
+    "rank_functions": (q_rank_functions, ORACLE_RANK_FUNCS),
 }
 
 
