@@ -1269,6 +1269,154 @@ WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
 """
 
 
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_RE = "\\+[0-9][0-9 ]{6,}[0-9]"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction — the compliance pass every training corpus runs
+    before the tokenizer. The corpus carries no PII, so deterministic
+    synthetic contacts are appended per doc and then scrubbed; both
+    the redacted text and the pre-redaction match counts are
+    oracle-checked (same RE2/Java-compatible patterns both engines).
+    Pure regexp expressions: codegen, no shuffle."""
+    d = _t(spark, sf_dir, "documents")
+    enriched = F.concat(
+        F.col("text"),
+        F.lit(" contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com call +1 555 01"),
+        F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+    )
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(enriched, _EMAIL_RE, "<EMAIL>"),
+        _PHONE_RE,
+        "<PHONE>",
+    )
+    return d.select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(enriched, F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(enriched, F.lit(_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+    )
+
+
+ORACLE_PII_SCRUB = f"""
+WITH e AS (
+  SELECT doc_id,
+         text || ' contact: user' || CAST(doc_id AS VARCHAR) ||
+         '@example.com call +1 555 01' ||
+         lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') AS enriched
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(regexp_replace(enriched, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                      '{_PHONE_RE}', '<PHONE>', 'g') AS scrubbed,
+       len(regexp_extract_all(enriched, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(enriched, '{_PHONE_RE}')) AS n_phones
+FROM e
+"""
+
+
+def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-document repetition (C4/Gopher-style quality signal):
+    1 − distinct/total word bigrams. High ratios mark boilerplate /
+    degenerate text for the quality gate. Array expressions only."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    d2 = d.select("doc_id", "lang", t.alias("t")).filter(F.size("t") >= 2)
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("t")) - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("t"), i, 2)),
+    )
+    return d2.select(
+        "doc_id",
+        "lang",
+        bigrams.alias("bg"),
+    ).select(
+        "doc_id",
+        "lang",
+        (F.size("bg")).alias("n_bigrams"),
+        F.round(
+            F.lit(1.0)
+            - F.size(F.array_distinct("bg")).cast("double")
+            / F.size("bg").cast("double"),
+            4,
+        ).alias("rep_ratio"),
+    )
+
+
+ORACLE_REPETITION = """
+WITH t AS (SELECT doc_id, lang,
+                  string_split_regex(lower(trim(text)), '\\s+') AS w
+           FROM documents),
+b AS (SELECT doc_id, lang,
+             [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bg
+      FROM t WHERE len(w) >= 2)
+SELECT doc_id, lang, len(bg) AS n_bigrams,
+       round(1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg), 4)
+         AS rep_ratio
+FROM b
+"""
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs whose 3-gram
+    shingle overlap with a held-out eval set (doc_id % 50 = 0)
+    exceeds 50% — the standard leakage guard before pre-training.
+    The eval shingle universe is distinct + broadcast; the check is
+    one equi-join over exploded candidate shingles + one agg."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import shingles_expr
+
+    d = _t(spark, sf_dir, "documents")
+    bench = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(F.explode(shingles_expr(F.col("text"))).alias("sh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    cand = d.filter(F.col("doc_id") % 50 != 0).select(
+        "doc_id", F.explode(shingles_expr(F.col("text"))).alias("sh")
+    )
+    return (
+        cand.join(F.broadcast(bench), "sh", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("overlap_frac"),
+        )
+        .withColumn("is_contaminated", F.col("overlap_frac") >= 0.5)
+    )
+
+
+ORACLE_DECONTAMINATE = (
+    # reuses the minhash pipeline's shingle CTE (same 3-gram rule)
+    "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t\n"
+    "           FROM documents),\n"
+    "s AS (SELECT doc_id,\n"
+    "             list_distinct([array_to_string(t[i:i+2], ' ')\n"
+    "                            for i in range(1, greatest(len(t)-1, 2))]) AS sh\n"
+    "      FROM t),\n"
+    "b AS (SELECT DISTINCT unnest(sh) AS sh FROM s WHERE doc_id % 50 = 0),\n"
+    "c AS (SELECT doc_id, unnest(sh) AS sh FROM s WHERE doc_id % 50 <> 0)\n"
+    "SELECT c.doc_id, count(*) AS n_shingles,\n"
+    "       round(CAST(sum(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS DOUBLE)\n"
+    "             / count(*), 4) AS overlap_frac,\n"
+    "       (round(CAST(sum(CASE WHEN b.sh IS NULL THEN 0 ELSE 1 END) AS DOUBLE)\n"
+    "              / count(*), 4) >= 0.5) AS is_contaminated\n"
+    "FROM c LEFT JOIN b ON c.sh = b.sh\n"
+    "GROUP BY c.doc_id\n"
+)
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1311,6 +1459,10 @@ EXT_REGISTRY = {
     "jaccard_pairs_prefix": (q_jaccard_pairs_prefix, ORACLE_JACCARD_PREFIX),
     "streaming_dedup_run": (q_streaming_dedup_run, ORACLE_STREAMING_DEDUP),
     "rank_functions": (q_rank_functions, ORACLE_RANK_FUNCS),
+    # corpus-hygiene ops: redaction, quality repetition, leakage guard
+    "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
+    "repetition_ratio": (q_repetition_ratio, ORACLE_REPETITION),
+    "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
 }
 
 

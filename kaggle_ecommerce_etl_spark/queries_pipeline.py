@@ -72,7 +72,10 @@ def _write_fixture_csv(df: DataFrame, path: str, order_col: str) -> None:
     shape the reference ingests. Fixture-only: the single-partition sort
     is correct for a per-file report (tens of MB), not a bulk path."""
     df = df.repartition(1).sortWithinPartitions(order_col).drop(order_col)
-    tmp = path + ".__tmp__"
+    # pid-scoped staging dir + atomic os.replace: concurrent writers
+    # (pytest alongside plan_audit) each stage privately and the last
+    # replace wins with a complete file either way
+    tmp = f"{path}.__tmp__{os.getpid()}"
     (
         df.write.option("header", True)
         # keep cell whitespace bit-exact through the round-trip
