@@ -1417,6 +1417,46 @@ ORACLE_DECONTAMINATE = (
 )
 
 
+def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column (the 4×
+    storage/serving compression step of a vector pipeline): per-vector
+    scale = max|x|/127, codes = round(x/scale). Pure array
+    expressions — codegen, no shuffle, no UDF."""
+    emb = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    scale = absmax / F.lit(127.0)
+    codes = F.when(absmax == 0, F.transform(F.col("embedding"), lambda x: F.lit(0))).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") / scale).cast("int"),
+        )
+    )
+    return emb.select(
+        "vec_id",
+        F.round(scale, 6).alias("scale"),
+        codes.alias("codes"),
+    )
+
+
+ORACLE_EMB_QUANTIZE = """
+WITH s AS (
+  SELECT vec_id, embedding,
+         list_max(list_transform(embedding,
+                                 x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc
+  FROM embeddings
+)
+SELECT vec_id, round(sc, 6) AS scale,
+       CASE WHEN sc = 0
+            THEN list_transform(embedding, x -> 0)
+            ELSE list_transform(embedding,
+                                x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT))
+       END AS codes
+FROM s
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1463,6 +1503,7 @@ EXT_REGISTRY = {
     "pii_scrub": (q_pii_scrub, ORACLE_PII_SCRUB),
     "repetition_ratio": (q_repetition_ratio, ORACLE_REPETITION),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
+    "embedding_quantize": (q_embedding_quantize, ORACLE_EMB_QUANTIZE),
 }
 
 

@@ -32,9 +32,13 @@ def normalize(df: pd.DataFrame) -> list[tuple]:
     df = df[sorted(df.columns)].copy()
 
     def canon(v):
+        if hasattr(v, "tolist") and not hasattr(v, "isoformat"):
+            v = v.tolist()  # numpy array/scalar → python list/scalar
+        if isinstance(v, (list, tuple)):
+            return "l:[" + ",".join(canon(x) for x in v) + "]"
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "<NULL>"
-        if pd.isna(v) if not isinstance(v, (list, tuple)) else False:
+        if pd.isna(v):
             return "<NULL>"
         if isinstance(v, float):
             return f"f:{v!r}"
