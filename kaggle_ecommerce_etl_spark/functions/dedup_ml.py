@@ -72,15 +72,24 @@ def _affine_fn(i: int):
     return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(MH_P)
 
 
-def minhash_signature_exprs(col: Column, k: int = N_MINHASH) -> list[Column]:
-    """k minhash values as separate columns mh0..mh{k-1}; one pass,
-    no shuffle, one md5 per shingle (k cheap affine rehashes)."""
-    bases = F.transform(
+def minhash_base_expr(col: Column) -> Column:
+    """Array of 64-bit base hashes, one md5 per shingle. Materialize
+    this through its OWN projection before fanning out the k affine
+    rehashes: referencing the array expression from k sibling columns
+    re-evaluates the md5s k× (Catalyst's common-subexpression
+    elimination does not reach inside higher-order functions —
+    measured 3× on the full signature job at sf0.1)."""
+    return F.transform(
         shingles_expr(col),
         lambda s: F.conv(
             F.substring(F.md5(s.cast("binary")), 1, 8), 16, 10
         ).cast("long"),
     )
+
+
+def minhash_signature_exprs(bases: Column, k: int = N_MINHASH) -> list[Column]:
+    """k minhash columns mh0..mh{k-1} over an ALREADY-MATERIALIZED
+    base-hash array column (see minhash_base_expr)."""
     return [
         F.array_min(F.transform(bases, _affine_fn(i))).alias(f"mh{i}")
         for i in range(k)
@@ -90,9 +99,14 @@ def minhash_signature_exprs(col: Column, k: int = N_MINHASH) -> list[Column]:
 def minhash_signatures(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id", k: int = N_MINHASH
 ) -> DataFrame:
-    # k·|shingles| md5 calls per row: CPU-bound → guarantee parallelism
+    # |shingles| md5 calls per row: CPU-bound → guarantee parallelism
     df = ensure_min_partitions(df)
-    return df.select(qcol(id_col), *minhash_signature_exprs(qcol(text_col), k))
+    based = df.select(
+        qcol(id_col), minhash_base_expr(qcol(text_col)).alias("__bases")
+    )
+    return based.select(
+        qcol(id_col), *minhash_signature_exprs(F.col("__bases"), k)
+    )
 
 
 def lsh_candidate_pairs(
