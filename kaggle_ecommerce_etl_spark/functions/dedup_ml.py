@@ -154,11 +154,17 @@ def lsh_candidate_pairs(
     )
 
 
-def simhash_expr(col: Column, bits: int = 16) -> Column:
-    """SimHash fingerprint: for each bit position, majority vote of the
-    distinct tokens' hash bits (+1/-1); positive sum → 1. Packed long."""
-    toks = F.array_distinct(tokens_ws(col))
-    hashes = F.transform(toks, lambda t: _h64(99, t))
+def simhash_hashes_expr(col: Column) -> Column:
+    """Distinct-token 64-bit hash array — materialize through its own
+    projection before the per-bit votes (CSE doesn't reach inside
+    higher-order functions; inlined, the md5s would re-run once per
+    bit — see minhash_base_expr)."""
+    return F.transform(F.array_distinct(tokens_ws(col)), lambda t: _h64(99, t))
+
+
+def simhash_from_hashes(hashes: Column, bits: int = 16) -> Column:
+    """SimHash packed long from an already-materialized hash array:
+    per bit position, majority vote of the hash bits (+1/-1)."""
 
     def _vote_fn(b: int):
         # exactly-2-arg merge lambda (see _seeded_hash_fn note)
@@ -169,6 +175,13 @@ def simhash_expr(col: Column, bits: int = 16) -> Column:
         vote = F.aggregate(hashes, F.lit(0).cast("long"), _vote_fn(b))
         total = total + F.when(vote > 0, F.lit(1 << b).cast("long")).otherwise(F.lit(0))
     return total
+
+
+def simhash_expr(col: Column, bits: int = 16) -> Column:
+    """One-shot SimHash of a text column. Convenience/compat path: in
+    a hot projection prefer staging simhash_hashes_expr first and
+    applying simhash_from_hashes to the materialized column."""
+    return simhash_from_hashes(simhash_hashes_expr(col), bits)
 
 
 def ngram_jaccard_pairs(

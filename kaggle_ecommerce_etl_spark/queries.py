@@ -1083,11 +1083,18 @@ ORACLE_LSH_PAIRS = (
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kaggle_ecommerce_etl_spark.functions.dedup_ml import simhash_expr
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        simhash_from_hashes,
+        simhash_hashes_expr,
+    )
     from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
 
     d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
-    return d.select("doc_id", simhash_expr(F.col("text")).alias("simhash"))
+    # two-step: md5 hash array materialized once, 16 bit-votes read it
+    staged = d.select("doc_id", simhash_hashes_expr(F.col("text")).alias("__h"))
+    return staged.select(
+        "doc_id", simhash_from_hashes(F.col("__h")).alias("simhash")
+    )
 
 
 _SIMHASH_BIT_SQL = " + ".join(

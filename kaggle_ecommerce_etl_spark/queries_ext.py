@@ -1424,19 +1424,28 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale = max|x|/127, codes = round(x/scale). Pure array
     expressions — codegen, no shuffle, no UDF."""
     emb = _t(spark, sf_dir, "embeddings")
+    # materialize the scale through its own projection: referencing it
+    # inside the transform lambda would re-run array_max per ELEMENT
+    # (CSE doesn't reach into higher-order functions — see
+    # dedup_ml.minhash_base_expr), turning O(d) into O(d²) per row
     absmax = F.array_max(
         F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
     )
-    scale = absmax / F.lit(127.0)
-    codes = F.when(absmax == 0, F.transform(F.col("embedding"), lambda x: F.lit(0))).otherwise(
+    staged = emb.select(
+        "vec_id", "embedding", (absmax / F.lit(127.0)).alias("__scale")
+    )
+    codes = F.when(
+        F.col("__scale") == 0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0)),
+    ).otherwise(
         F.transform(
             F.col("embedding"),
-            lambda x: F.round(x.cast("double") / scale).cast("int"),
+            lambda x: F.round(x.cast("double") / F.col("__scale")).cast("int"),
         )
     )
-    return emb.select(
+    return staged.select(
         "vec_id",
-        F.round(scale, 6).alias("scale"),
+        F.round("__scale", 6).alias("scale"),
         codes.alias("codes"),
     )
 
