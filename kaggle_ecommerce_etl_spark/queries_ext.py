@@ -1210,7 +1210,13 @@ def q_streaming_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
-    tag = _hl.md5(sf_dir.encode()).hexdigest()[:8]
+    # tag includes the source file's (mtime, size): a regenerated
+    # testdata drop invalidates the cached fixture instead of serving
+    # stale duplicated events
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = _hl.md5(
+        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
     src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
     done = src_dir + "/_SPARK_GRAFT_READY"
     if not os.path.exists(done):
