@@ -1473,6 +1473,85 @@ FROM s
 """
 
 
+def q_fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy entity resolution: customer-name pairs within edit
+    distance ≤ 2, blocked by nation (the quadratic comparison space
+    lives INSIDE each block — the join itself is a key equi-join on
+    the blocking key, never a global cross product). levenshtein is
+    a JVM built-in on both engines."""
+    c = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    a = c.select(
+        F.col("c_custkey").alias("id1"),
+        F.col("c_name").alias("name1"),
+        "c_nationkey",
+    )
+    b = c.select(
+        F.col("c_custkey").alias("id2"),
+        F.col("c_name").alias("name2"),
+        "c_nationkey",
+    )
+    return (
+        a.join(b, "c_nationkey")
+        .filter(F.col("id1") < F.col("id2"))
+        .withColumn("dist", F.levenshtein("name1", "name2"))
+        .filter(F.col("dist") <= 2)
+        .select("id1", "id2", "dist")
+    )
+
+
+ORACLE_FUZZY = """
+SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+       levenshtein(a.c_name, b.c_name) AS dist
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
+def q_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel (view → click → purchase): per user, the
+    earliest event of each stage STRICTLY AFTER the previous stage's
+    earliest. Three grouped mins + two joins, all shuffling on
+    user_id — co-partitioned, so AQE collapses them into one
+    exchange reuse."""
+    ev = _t(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.join(v, "user_id")
+        .filter((F.col("event_type") == "click") & (F.col("ts") > F.col("t_view")))
+        .groupBy("user_id", "t_view")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.join(c, "user_id")
+        .filter(
+            (F.col("event_type") == "purchase") & (F.col("ts") > F.col("t_click"))
+        )
+        .groupBy("user_id", "t_view", "t_click")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return p.select("user_id", "t_view", "t_click", "t_purchase")
+
+
+ORACLE_FUNNEL = """
+WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+           WHERE event_type = 'view' GROUP BY 1),
+c AS (SELECT e.user_id, v.t_view, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1, 2),
+p AS (SELECT e.user_id, c.t_view, c.t_click, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1, 2, 3)
+SELECT user_id, t_view, t_click, t_purchase FROM p
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1520,6 +1599,8 @@ EXT_REGISTRY = {
     "repetition_ratio": (q_repetition_ratio, ORACLE_REPETITION),
     "decontaminate": (q_decontaminate, ORACLE_DECONTAMINATE),
     "embedding_quantize": (q_embedding_quantize, ORACLE_EMB_QUANTIZE),
+    "fuzzy_name_pairs": (q_fuzzy_name_pairs, ORACLE_FUZZY),
+    "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL),
 }
 
 
