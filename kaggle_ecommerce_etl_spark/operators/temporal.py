@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["asof_join", "range_join_bucketed"]
+__all__ = ["asof_join", "asof_join_broadcast", "range_join_bucketed"]
 
 
 def asof_join(
@@ -139,4 +139,46 @@ def range_join_bucketed(
             & (F.col(event_ts) < F.col(end_col))
         )
         .drop("__slot")
+    )
+
+
+def asof_join_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+) -> DataFrame:
+    """Backward as-of join for a SMALL right side (rate tables, config
+    histories): the right side collapses to one row per key holding
+    its (ts, payload...) structs sorted by ts, broadcast-joins to the
+    left, and each left row picks the last struct with ts ≤ left_ts
+    via pure array expressions. ZERO shuffles on the left (the 100 TB
+    fact side) — the trade vs :func:`asof_join` is O(|right per key|)
+    work per left row and the broadcast ceiling, the same trade as
+    any broadcast join. Same contract: unique (on, right_ts),
+    left-outer semantics."""
+    payload = [c for c in right.columns if c not in on and c != right_ts]
+    clash = set(payload) & set(left.columns)
+    if clash:
+        raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+    packed = (
+        right.groupBy(*on)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col(right_ts).alias("__rts"), *payload))
+            ).alias("__hist")
+        )
+    )
+    joined = left.join(F.broadcast(packed), on, "left")
+    # last history entry at-or-before the event time; arrays sort by
+    # the leading struct field, so filter + try_element_at(-1) is the
+    # pick (try_: an empty filter result must yield NULL, not an ANSI
+    # out-of-bounds error)
+    pick = F.try_element_at(
+        F.filter("__hist", lambda s: s["__rts"] <= F.col(left_ts)), F.lit(-1)
+    )
+    staged = joined.withColumn("__pick", pick).drop("__hist")
+    return staged.select(
+        *left.columns, *[F.col("__pick")[c].alias(c) for c in payload]
     )

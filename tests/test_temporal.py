@@ -116,3 +116,34 @@ def test_range_join_rejects_unknown_bucket(spark):
     df = spark.range(1)
     with pytest.raises(ValueError, match="bucket"):
         range_join_bucketed(df, df, "id", "id", "id", "id", "id", bucket="3 ms")
+
+
+def test_asof_broadcast_equals_union_window(spark, frames, sf_dir):
+    """Broadcast-right variant ≡ union-window variant, on both the
+    hand-built frames and real events×orders at sf0.001; plan has no
+    shuffle on the left side (broadcast join only)."""
+    from kaggle_ecommerce_etl_spark.operators.temporal import asof_join_broadcast
+    from kaggle_ecommerce_etl_spark.queries import _t
+    from pyspark.sql import functions as F
+
+    left, right = frames
+    a = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts")
+    b = asof_join_broadcast(left, right, on=["k"], left_ts="ts", right_ts="rts")
+    key = lambda r: (r["k"], r["ts"], r["tag"])
+    assert sorted(map(tuple, a.select("k", "ts", "tag", "price").collect())) == \
+           sorted(map(tuple, b.select("k", "ts", "tag", "price").collect()))
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("user_id").alias("k"), "ts"
+    )
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("rts"))
+        .agg(F.max("o_orderkey").alias("okey"))
+    )
+    a2 = asof_join(ev, r, on=["k"], left_ts="ts", right_ts="rts")
+    b2 = asof_join_broadcast(ev, r, on=["k"], left_ts="ts", right_ts="rts")
+    assert sorted(map(tuple, a2.select("event_id", "okey").collect())) == \
+           sorted(map(tuple, b2.select("event_id", "okey").collect()))
+    plan = b2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
