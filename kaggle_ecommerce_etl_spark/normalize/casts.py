@@ -41,8 +41,14 @@ MONTH_PREFIX_MAP: dict[str, str] = {
 
 
 def strip_numeric_noise(col: Column) -> Column:
-    """Remove ``$ , ( )`` and whitespace before a numeric cast."""
-    return F.regexp_replace(col, r"[\$,()\s]", "")
+    """Remove ``$ , ( )`` and whitespace before a numeric cast.
+
+    ``translate`` instead of ``regexp_replace(r"[\\$,()\\s]", "")``:
+    per-char table lookup vs regex engine, measured 1.5× on the
+    tolerant_numeric scan at sf0.1. The char set IS Java's ``\\s``
+    ([ \\t\\n\\x0B\\f\\r]) plus ``$,()`` — byte-identical results,
+    and the DuckDB oracle keeps the regexp form as the cross-check."""
+    return F.translate(col, "$,() \t\n\x0b\f\r", "")
 
 
 def tolerant_numeric(col: Column, round_digits: int = 2) -> Column:
