@@ -1,0 +1,102 @@
+"""Property-based tests (SURVEY §5.3) for the normalization core —
+hypothesis drives the row content, Spark evaluates, invariants assert.
+
+Each property runs few examples (Spark job per example) but each
+example carries many generated rows, so the input space coverage is
+rows × examples, not examples alone."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.normalize.casts import tolerant_numeric
+from kaggle_ecommerce_etl_spark.normalize.tokens import NA_TOKENS, canonicalize_na
+from kaggle_ecommerce_etl_spark.operators.dedup import conflict_split
+
+_SETTINGS = dict(max_examples=5, deadline=None)
+
+_plain = st.text(
+    alphabet=st.characters(whitelist_categories=("Lu", "Ll", "Nd")),
+    min_size=1,
+    max_size=12,
+).filter(lambda s: s.strip() not in NA_TOKENS and s.strip() != "")
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(sorted(NA_TOKENS) + [" ", ""]), _plain),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_na_canonicalize_property(spark, rows):
+    """Every official NA spelling nulls; every non-token survives
+    EXACTLY (no trimming side effects on clean values)."""
+    df = spark.createDataFrame(
+        [(i, t, p) for i, (t, p) in enumerate(rows)],
+        "i int, tok string, keep string",
+    )
+    out = {r.i: r for r in canonicalize_na(df, ["tok", "keep"]).collect()}
+    for i, (tok, keep) in enumerate(rows):
+        assert out[i].tok is None, f"token {tok!r} must canonicalize to NULL"
+        assert out[i].keep == keep
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.floats(min_value=-9e6, max_value=9e6, allow_nan=False),
+            st.sampled_from(["$", "", " "]),
+            st.booleans(),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_tolerant_numeric_roundtrip_property(spark, rows):
+    """prefix-noise + embedded spaces strip away: value rendered with
+    noise parses back to round(x, 2); junk parses to NULL."""
+    rendered = [
+        (f"{pre}{x:,.4f}" if comma else f"{pre} {x:.4f} ", x)
+        for x, pre, comma in rows
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, (s, _) in enumerate(rendered)]
+        + [(len(rendered) + i, "junk-%d" % i) for i in range(3)],
+        "i int, raw string",
+    )
+    out = {
+        r.i: r.v
+        for r in df.select("i", tolerant_numeric(F.col("raw")).alias("v")).collect()
+    }
+    for i, (s, x) in enumerate(rendered):
+        assert out[i] is not None and abs(out[i] - round(x, 2)) < 1e-9, (s, x)
+    for i in range(len(rendered), len(rendered) + 3):
+        assert out[i] is None
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(st.integers(min_value=0, max_value=12), st.integers(0, 999)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_conflict_split_partition_property(spark, rows):
+    """clean ∪ flagged == input, disjoint, and the key is unique in
+    clean — for ANY keyed multiset."""
+    df = spark.createDataFrame(
+        [(k, v) for k, v in rows], "order_id int, payload int"
+    )
+    clean, flagged = conflict_split(df, ["order_id"])
+    c = [(r.order_id, r.payload) for r in clean.collect()]
+    f = [(r.order_id, r.payload) for r in flagged.collect()]
+    assert sorted(c + f) == sorted(rows)
+    ckeys = [k for k, _ in c]
+    fkeys = {k for k, _ in f}
+    assert len(set(ckeys)) == len(ckeys)
+    assert not (set(ckeys) & fkeys)
