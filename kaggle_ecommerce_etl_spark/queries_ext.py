@@ -1672,6 +1672,83 @@ LIMIT 20
 """
 
 
+def q_streaming_sessionize_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``applyInPandasWithState`` ON the correctness surface: the
+    custom stateful sessionizer (streaming/stateful.py) drained with
+    Trigger.AvailableNow over the events drop. A far-future sentinel
+    event per user gap-closes every REAL session inline (the
+    sentinel's own open session is never emitted), so the drained
+    output equals batch sessionization exactly — checked against a
+    microsecond-precision SQL twin (the operator splits on gaps
+    STRICTLY > 30 min, unlike session_window's >=)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    from kaggle_ecommerce_etl_spark.streaming.stateful import sessionize_stateful
+
+    # watermarks require TIMESTAMP (LTZ); the parquet lands NTZ. The
+    # session TZ is pinned UTC (queries._t), so the cast is value-stable
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    st = os.stat(f"{sf_dir}/events.parquet")
+    # "v2": fixture schema version (ts stored LTZ) — bump on any
+    # change to what gets written, so stale cached fixtures die
+    tag = _hl.md5(
+        f"sess:v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    done = src_dir + "/_SPARK_GRAFT_READY"
+    if not os.path.exists(done):
+        sentinels = (
+            ev.select("user_id")
+            .distinct()
+            .withColumn("ts", F.lit("2030-01-01").cast("timestamp"))
+            .withColumn("value", F.lit(0.0))
+        )
+        ev.unionByName(sentinels).repartition(2).write.mode("overwrite").parquet(
+            src_dir
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    qname = "sessionize_run_" + tag
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    query = (
+        sessionize_stateful(stream)
+        .writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+ORACLE_STREAMING_SESSIONIZE = """
+WITH marks AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR date_diff('microsecond', lag(ts) OVER w, ts) > 1800000000
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+  SELECT user_id, ts, value,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks
+)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1723,6 +1800,10 @@ EXT_REGISTRY = {
     "funnel_conversion": (q_funnel_conversion, ORACLE_FUNNEL),
     "market_share": (q_market_share, ORACLE_MARKET_SHARE),
     "returned_revenue": (q_returned_revenue, ORACLE_RETURNED_REVENUE),
+    "streaming_sessionize_run": (
+        q_streaming_sessionize_run,
+        ORACLE_STREAMING_SESSIONIZE,
+    ),
 }
 
 
