@@ -1749,6 +1749,111 @@ FROM sessions GROUP BY user_id, sid
 """
 
 
+def q_asof_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The broadcast-right as-of variant on a small dimension history
+    (orders of 5 customers as the 'rate table'): zero shuffles on the
+    event side — sorted per-key history arrays broadcast and each
+    event picks its last-at-or-before entry with array expressions."""
+    from kaggle_ecommerce_etl_spark.operators.temporal import asof_join_broadcast
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    r = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_custkey") < 5)
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("asof_orderkey"),
+            F.expr("max_by(o_totalprice, o_orderkey)").alias("asof_totalprice"),
+        )
+    )
+    out = asof_join_broadcast(
+        ev, r, on=["user_id"], left_ts="ts", right_ts="o_orderdate"
+    )
+    return out.select("event_id", "user_id", "asof_orderkey", "asof_totalprice")
+
+
+ORACLE_ASOF_BROADCAST = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate,
+         max(o_orderkey) AS asof_orderkey,
+         arg_max(o_totalprice, o_orderkey) AS asof_totalprice
+  FROM orders WHERE o_custkey < 5 GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.asof_orderkey, r.asof_totalprice
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+"""
+
+
+def q_streaming_upsert_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's duplicate-Lambda-invocation story end-to-end in
+    streaming (README:119-123; pg.py:544-547): two micro-batches whose
+    files OVERLAP (keys ≡1 mod 3 re-delivered) drain through
+    foreachBatch → upsert_anti_join into a parquet target. The final
+    table equals plain distinct orders — the DO-NOTHING idempotency
+    guarantee, value-checked."""
+    import hashlib as _hl
+    import glob as _glob
+    import os
+    import shutil
+    import tempfile
+
+    from kaggle_ecommerce_etl_spark.operators.dedup import upsert_anti_join
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    tag = _hl.md5(
+        f"ups:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    done = src_dir + "/_SPARK_GRAFT_READY"
+    if not os.path.exists(done):
+        os.makedirs(src_dir, exist_ok=True)
+        for name, frame in (
+            ("a", orders.filter(F.col("o_orderkey") % 3 != 2)),
+            ("b", orders.filter(F.col("o_orderkey") % 3 != 0)),
+        ):
+            stage = f"{src_dir}.__stage_{name}"
+            frame.coalesce(1).write.mode("overwrite").parquet(stage)
+            part = _glob.glob(stage + "/part-*.parquet")[0]
+            os.replace(part, f"{src_dir}/{name}.parquet")
+            shutil.rmtree(stage, ignore_errors=True)
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    target = tempfile.mkdtemp(prefix="upsert_tgt_")
+    shutil.rmtree(target, ignore_errors=True)
+
+    def _apply(batch: DataFrame, _bid: int) -> None:
+        try:
+            existing = spark.read.parquet(target)
+        except Exception:  # first batch: target doesn't exist yet
+            existing = batch.sparkSession.createDataFrame([], batch.schema)
+        upsert_anti_join(batch, existing, ["o_orderkey"]).write.mode(
+            "append"
+        ).parquet(target)
+
+    stream = (
+        spark.readStream.schema(orders.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    query = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.read.parquet(target).select(*cols)
+
+
+ORACLE_STREAMING_UPSERT = """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1804,6 +1909,8 @@ EXT_REGISTRY = {
         q_streaming_sessionize_run,
         ORACLE_STREAMING_SESSIONIZE,
     ),
+    "asof_join_broadcast": (q_asof_join_broadcast, ORACLE_ASOF_BROADCAST),
+    "streaming_upsert_run": (q_streaming_upsert_run, ORACLE_STREAMING_UPSERT),
 }
 
 
