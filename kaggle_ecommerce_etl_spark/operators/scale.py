@@ -145,3 +145,27 @@ def stratified_sample(
         .drop("__keep_lt")
         .select(*df.columns)
     )
+
+
+def compact_sorted(
+    df: DataFrame,
+    path: str,
+    key: str,
+    target_files: int = 4,
+) -> None:
+    """Small-file compaction with range-clustered layout: rewrite into
+    ``target_files`` range-partitioned files, each sorted by ``key``.
+
+    The 100 TB housekeeping op: streaming sinks and per-batch appends
+    leave thousands of small files; listing and per-file overhead then
+    dominate scans. Range partitioning (sampled split points) gives
+    globally disjoint key ranges per file, so later key/range
+    predicates prune to single files AND parquet row-group min/max
+    stats stay tight (clustered data → narrow stats → rowgroup skip).
+    """
+    (
+        df.repartitionByRange(target_files, F.col(key))
+        .sortWithinPartitions(key)
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -1854,6 +1854,32 @@ SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice FROM orders
 """
 
 
+def q_compact_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction round-trip: orders scattered into many
+    tiny files, compacted into 4 range-partitioned key-sorted files
+    (operators/scale.compact_sorted), read back — content is
+    byte-identical to the source (the oracle), and the layout
+    properties (file count, disjoint per-file key ranges) are
+    asserted in tests/test_scale.py."""
+    from kaggle_ecommerce_etl_spark.operators.scale import compact_sorted
+
+    cols = ["o_orderkey", "o_custkey", "o_totalprice"]
+    orders = _t(spark, sf_dir, "orders").select(*cols)
+    scattered = _scale_fixture(sf_dir, "scattered")
+    compacted = _scale_fixture(sf_dir, "compacted")
+    # simulate the streaming-sink aftermath: 64 small files
+    orders.repartition(64).write.mode("overwrite").parquet(scattered)
+    compact_sorted(
+        spark.read.parquet(scattered), compacted, key="o_orderkey"
+    )
+    return spark.read.parquet(compacted).select(*cols)
+
+
+ORACLE_COMPACT = """
+SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1911,6 +1937,7 @@ EXT_REGISTRY = {
     ),
     "asof_join_broadcast": (q_asof_join_broadcast, ORACLE_ASOF_BROADCAST),
     "streaming_upsert_run": (q_streaming_upsert_run, ORACLE_STREAMING_UPSERT),
+    "compact_files": (q_compact_files, ORACLE_COMPACT),
 }
 
 

@@ -128,3 +128,30 @@ def test_stratified_sample_rates_and_determinism(spark, sf_dir):
     # plan: broadcast lookup, no exchange introduced by the sample
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_compact_sorted_layout(spark, sf_dir, tmp_path):
+    """Compaction preserves content, hits the target file count, and
+    yields globally disjoint per-file key ranges (range clustering)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kaggle_ecommerce_etl_spark.operators.scale import compact_sorted
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    out = str(tmp_path / "compacted")
+    compact_sorted(orders.repartition(16), out, key="o_orderkey")
+    files = sorted(glob.glob(out + "/part-*.parquet"))
+    assert len(files) == 4
+    back = spark.read.parquet(out)
+    assert back.count() == orders.count()
+    ranges = []
+    for f in files:
+        t = pq.read_table(f, columns=["o_orderkey"])["o_orderkey"]
+        ranges.append((min(t.to_pylist()), max(t.to_pylist())))
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, "per-file key ranges must be disjoint"
