@@ -169,3 +169,23 @@ def compact_sorted(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def morton_code_expr(x, y, bits: int = 16):
+    """Z-order (Morton) interleave of two non-negative ints — the sort
+    key for TWO-dimensional data clustering. Sorting/range-partitioning
+    by the code keeps rows close in BOTH dimensions close in the file
+    layout, so parquet min/max stats prune scans filtered on EITHER
+    column (the Delta/Iceberg OPTIMIZE ZORDER idea, here as a pure
+    expression usable with compact_sorted).
+
+    Pure bit expressions (2·bits shift/mask/or terms), codegen'd; the
+    same arithmetic is expressible verbatim in the SQL oracle."""
+    code = F.lit(0).cast("long")
+    xl = x.cast("long")
+    yl = y.cast("long")
+    for b in range(bits):
+        xbit = F.shiftleft(F.shiftright(xl, b).bitwiseAND(F.lit(1)), 2 * b)
+        ybit = F.shiftleft(F.shiftright(yl, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        code = code.bitwiseOR(xbit).bitwiseOR(ybit)
+    return code

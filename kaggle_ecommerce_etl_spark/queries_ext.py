@@ -1880,6 +1880,74 @@ SELECT o_orderkey, o_custkey, o_totalprice FROM orders
 """
 
 
+def q_incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance: a per-customer revenue aggregate
+    maintained as mergeable partials (count, sum) — base partials from
+    historical orders merge with a new batch's partials WITHOUT
+    rescanning history. At 100 TB, the nightly delta touches only the
+    delta: cost ∝ |batch| + |groups|, never |history|. Result equals
+    the full recompute (the oracle)."""
+    orders = _t(spark, sf_dir, "orders")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    partial = lambda df: df.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(F.col("o_totalprice").cast("decimal(23,8)")).alias("sm"),
+    )
+    base = partial(orders.filter(F.col("o_orderdate") < cut))
+    delta = partial(orders.filter(F.col("o_orderdate") >= cut))
+    merged = (
+        base.unionByName(delta)
+        .groupBy("o_custkey")
+        .agg(F.sum("cnt").alias("n_orders"), F.sum("sm").alias("sm"))
+    )
+    return merged.select(
+        "o_custkey",
+        "n_orders",
+        F.round("sm", 2).cast("double").alias("total_revenue"),
+    )
+
+
+ORACLE_INCR_AGG = """
+SELECT o_custkey, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,8))), 2) AS DOUBLE)
+         AS total_revenue
+FROM orders GROUP BY 1
+"""
+
+
+def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order clustering key over (customer, order-day): the Morton
+    interleave as a pure expression, oracle-checked bit-for-bit. Used
+    with compact_sorted to lay files out so min/max stats prune on
+    EITHER dimension."""
+    from kaggle_ecommerce_etl_spark.operators.scale import morton_code_expr
+
+    o = _t(spark, sf_dir, "orders")
+    x = F.pmod(F.col("o_custkey"), F.lit(65536))
+    y = F.pmod(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")), F.lit(65536))
+    return o.select(
+        "o_orderkey",
+        morton_code_expr(x, y).alias("zcode"),
+    )
+
+
+def _morton_sql(xs: str, ys: str, bits: int = 16) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"((({xs} >> {b}) & 1) << {2 * b})")
+        terms.append(f"((({ys} >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)
+
+
+ORACLE_ZORDER = f"""
+SELECT o_orderkey,
+       {_morton_sql("(o_custkey % 65536)",
+                    "(date_diff('day', DATE '1995-01-01', o_orderdate) % 65536)")}
+         AS zcode
+FROM orders
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -1938,6 +2006,8 @@ EXT_REGISTRY = {
     "asof_join_broadcast": (q_asof_join_broadcast, ORACLE_ASOF_BROADCAST),
     "streaming_upsert_run": (q_streaming_upsert_run, ORACLE_STREAMING_UPSERT),
     "compact_files": (q_compact_files, ORACLE_COMPACT),
+    "incremental_agg_merge": (q_incremental_agg_merge, ORACLE_INCR_AGG),
+    "zorder_code": (q_zorder_code, ORACLE_ZORDER),
 }
 
 
