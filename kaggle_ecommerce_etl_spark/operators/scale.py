@@ -171,6 +171,17 @@ def compact_sorted(
     )
 
 
+def scale_to_bits(col, domain: int, bits: int):
+    """Map a value in [0, domain) onto the FULL [0, 2^bits) range —
+    required before Morton interleaving: with raw values whose domain
+    is far below 2^bits, the interleave's high bits are constant zero
+    and range-partitioning on the code separates NEITHER dimension
+    (verified the hard way in tests/test_scale.py)."""
+    return F.floor(col.cast("long") * F.lit(1 << bits) / F.lit(domain)).cast(
+        "long"
+    )
+
+
 def morton_code_expr(x, y, bits: int = 16):
     """Z-order (Morton) interleave of two non-negative ints — the sort
     key for TWO-dimensional data clustering. Sorting/range-partitioning
@@ -178,6 +189,9 @@ def morton_code_expr(x, y, bits: int = 16):
     layout, so parquet min/max stats prune scans filtered on EITHER
     column (the Delta/Iceberg OPTIMIZE ZORDER idea, here as a pure
     expression usable with compact_sorted).
+
+    Inputs must OCCUPY the bit width — pass each dimension through
+    :func:`scale_to_bits` first so its high bits carry signal.
 
     Pure bit expressions (2·bits shift/mask/or terms), codegen'd; the
     same arithmetic is expressible verbatim in the SQL oracle."""

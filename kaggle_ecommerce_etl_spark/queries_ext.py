@@ -1920,18 +1920,28 @@ def q_zorder_code(spark: SparkSession, sf_dir: str) -> DataFrame:
     interleave as a pure expression, oracle-checked bit-for-bit. Used
     with compact_sorted to lay files out so min/max stats prune on
     EITHER dimension."""
-    from kaggle_ecommerce_etl_spark.operators.scale import morton_code_expr
+    from kaggle_ecommerce_etl_spark.operators.scale import (
+        morton_code_expr,
+        scale_to_bits,
+    )
 
     o = _t(spark, sf_dir, "orders")
-    x = F.pmod(F.col("o_custkey"), F.lit(65536))
-    y = F.pmod(F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")), F.lit(65536))
+    # scale each dimension onto the full 12-bit range so the
+    # interleave's HIGH bits carry signal; domains come from the data
+    # (one tiny agg at plan time — same two-phase pattern as the
+    # profiling layer). Wrong/oversized domains zero the top bits and
+    # kill the clustering (tests/test_scale.py proves it).
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    xdom, ydom = o.select(F.max("o_custkey") + 1, F.max(day) + 1).first()
+    x = scale_to_bits(F.col("o_custkey"), int(xdom), 12)
+    y = scale_to_bits(day, int(ydom), 12)
     return o.select(
         "o_orderkey",
-        morton_code_expr(x, y).alias("zcode"),
+        morton_code_expr(x, y, bits=12).alias("zcode"),
     )
 
 
-def _morton_sql(xs: str, ys: str, bits: int = 16) -> str:
+def _morton_sql(xs: str, ys: str, bits: int = 12) -> str:
     terms = []
     for b in range(bits):
         terms.append(f"((({xs} >> {b}) & 1) << {2 * b})")
@@ -1939,11 +1949,18 @@ def _morton_sql(xs: str, ys: str, bits: int = 16) -> str:
     return " | ".join(terms)
 
 
+_ZX = (
+    "CAST(floor(o_custkey * 4096 / "
+    "(SELECT max(o_custkey) + 1 FROM orders)) AS BIGINT)"
+)
+_ZY = (
+    "CAST(floor(date_diff('day', DATE '1995-01-01', o_orderdate) * 4096 / "
+    "(SELECT max(date_diff('day', DATE '1995-01-01', o_orderdate)) + 1 "
+    "FROM orders)) AS BIGINT)"
+)
+
 ORACLE_ZORDER = f"""
-SELECT o_orderkey,
-       {_morton_sql("(o_custkey % 65536)",
-                    "(date_diff('day', DATE '1995-01-01', o_orderdate) % 65536)")}
-         AS zcode
+SELECT o_orderkey, {_morton_sql(_ZX, _ZY)} AS zcode
 FROM orders
 """
 

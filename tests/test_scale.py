@@ -155,3 +155,57 @@ def test_compact_sorted_layout(spark, sf_dir, tmp_path):
     ranges.sort()
     for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
         assert hi1 < lo2, "per-file key ranges must be disjoint"
+
+
+def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
+    """The claim behind morton_code_expr: compact_sorted by zcode
+    yields parquet files whose min/max stats let a filter on EITHER
+    dimension skip most files; a hash-scattered layout cannot skip."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from kaggle_ecommerce_etl_spark.operators.scale import (
+        compact_sorted,
+        morton_code_expr,
+        scale_to_bits,
+    )
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    day = F.datediff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date"))
+    xdom, ydom = o.select(
+        F.max("o_custkey") + 1, F.max(day) + 1
+    ).first()
+    coded = o.withColumn(
+        "zcode",
+        morton_code_expr(
+            scale_to_bits(F.col("o_custkey"), xdom, 12),
+            scale_to_bits(day, ydom, 12),
+            bits=12,
+        ),
+    )
+    zdir, rdir = str(tmp_path / "z"), str(tmp_path / "r")
+    compact_sorted(coded, zdir, key="zcode", target_files=8)
+    coded.repartition(8).write.mode("overwrite").parquet(rdir)
+
+    def files_containing(path, col, lo, hi):
+        hit = 0
+        for f in glob.glob(path + "/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = md.schema.to_arrow_schema().get_field_index(col)
+            fmin = min(md.row_group(i).column(idx).statistics.min
+                       for i in range(md.num_row_groups))
+            fmax = max(md.row_group(i).column(idx).statistics.max
+                       for i in range(md.num_row_groups))
+            if fmax >= lo and fmin <= hi:
+                hit += 1
+        return hit
+
+    # a narrow customer range: zorder layout skips files, random can't
+    z_hits = files_containing(zdir, "o_custkey", 10, 20)
+    r_hits = files_containing(rdir, "o_custkey", 10, 20)
+    assert r_hits == 8, "hash-scattered layout straddles every file"
+    assert z_hits < 8, "zorder layout must let min/max stats skip files"
