@@ -1965,6 +1965,78 @@ FROM orders
 """
 
 
+def q_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative expectations over orders (operators/quality.py):
+    not-null, uniqueness, value-set, range, and referential integrity
+    vs customer — all scalar rules in ONE aggregation pass, the ref
+    rule as one broadcast anti-join. The reference's DB-constraint
+    intents (PK/CHECK/NOT NULL, pg.py:450-533) as an engine-side
+    report."""
+    from kaggle_ecommerce_etl_spark.operators.quality import (
+        expect_in_set,
+        expect_not_null,
+        expect_range,
+        expect_ref,
+        expect_unique,
+        validate,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return validate(
+        orders,
+        [
+            expect_not_null("o_orderkey"),
+            expect_not_null("o_orderdate"),
+            expect_unique("o_orderkey"),
+            expect_in_set("o_orderstatus", ["F", "O", "P"]),
+            expect_range("o_totalprice", lo=0),
+            expect_ref("o_custkey", cust, "c_custkey"),
+        ],
+    )
+
+
+ORACLE_DQ = """
+SELECT 'not_null:o_orderkey' AS rule,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS violations,
+       sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) = 0 AS passed
+FROM orders
+UNION ALL
+SELECT 'not_null:o_orderdate',
+       CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'unique:o_orderkey',
+       CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT),
+       count(*) = count(DISTINCT o_orderkey)
+FROM orders
+UNION ALL
+SELECT 'in_set:o_orderstatus',
+       CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                      AND o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_orderstatus NOT IN ('F','O','P')
+                 AND o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'range:o_totalprice',
+       CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+       sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) = 0
+FROM orders
+UNION ALL
+SELECT 'ref:o_custkey->c_custkey',
+       CAST((SELECT count(*) FROM orders o
+             WHERE o.o_custkey IS NOT NULL
+               AND NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS BIGINT),
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey IS NOT NULL
+          AND NOT EXISTS (SELECT 1 FROM customer c
+                          WHERE c.c_custkey = o.o_custkey)) = 0
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2025,6 +2097,7 @@ EXT_REGISTRY = {
     "compact_files": (q_compact_files, ORACLE_COMPACT),
     "incremental_agg_merge": (q_incremental_agg_merge, ORACLE_INCR_AGG),
     "zorder_code": (q_zorder_code, ORACLE_ZORDER),
+    "data_quality_report": (q_data_quality_report, ORACLE_DQ),
 }
 
 
