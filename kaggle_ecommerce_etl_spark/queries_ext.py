@@ -2118,11 +2118,12 @@ _append_drift()
 def _push_into_base() -> None:
     """Make the merged surface import-order-proof: if a caller imported
     queries_ext FIRST, queries.py's bottom-of-module _merge_extensions
-    ran while EXT_REGISTRY didn't exist yet and skipped — push from
-    this side now that it does (idempotent under the normal order)."""
+    ran while EXT_REGISTRY didn't exist yet and skipped — re-run the
+    SAME merge (placeholder splice included) now that it exists
+    (idempotent under the normal order)."""
     from kaggle_ecommerce_etl_spark import queries as _q
 
-    _q.REGISTRY.update(EXT_REGISTRY)
+    _q._merge_extensions()
 
 
 _push_into_base()
