@@ -200,11 +200,13 @@ FROM (
 # --------------------------------------------------------------------------
 
 def q_conflict_split_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 15 clean side: order_ids occurring exactly once (window count)."""
     clean, _ = conflict_split(_t(spark, sf_dir, "lineitem"), ["l_orderkey"])
     return clean
 
 
 def q_conflict_split_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 15 flagged side: every row of a >1-occurrence order_id."""
     _, flagged = conflict_split(_t(spark, sf_dir, "lineitem"), ["l_orderkey"])
     return flagged
 
@@ -218,6 +220,7 @@ JOIN (SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
 
 
 def q_dedup_full_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 14: full-row dropDuplicates over a projected relation."""
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_linestatus", F.year("l_shipdate").alias("ship_year")
     )
@@ -232,6 +235,7 @@ FROM lineitem
 
 
 def q_distinct_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a two-column projection."""
     return dedup_full_rows(
         _t(spark, sf_dir, "customer").select("c_nationkey", "c_mktsegment")
     )
@@ -245,6 +249,7 @@ ORACLE_DISTINCT_PROJ = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
 # --------------------------------------------------------------------------
 
 def q_colname_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 9: lower/strip/[\s-]+->_ header rule applied to every column."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("L  OrderKey"),
         F.col("l_linenumber").alias(" Line-Number "),
@@ -260,6 +265,7 @@ FROM lineitem
 
 
 def q_align_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 12: projection onto a target schema, missing columns as typed NULLs."""
     return align_columns(
         _t(spark, sf_dir, "supplier"),
         [
@@ -300,6 +306,7 @@ def _na_case_col() -> Column:
 
 
 def q_na_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 30: every NA-token spelling (and blank) becomes SQL NULL."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", _na_case_col().alias("raw")
     )
@@ -328,6 +335,7 @@ def _dec_str_col() -> Column:
 
 
 def q_tolerant_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 26-27: noise strip + cast-or-NULL + round over synthesized messy numerics."""
     li = _t(spark, sf_dir, "lineitem")
     m = F.col("l_linenumber") % 4
     raw = (
@@ -359,6 +367,7 @@ FROM (
 
 
 def q_date_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 28: tolerant multi-format date parse to ISO strings."""
     o = _t(spark, sf_dir, "orders")
     d = F.col("o_orderdate").cast("date")
     m = F.col("o_orderkey") % 3
@@ -428,6 +437,7 @@ FROM orders
 
 
 def q_text_standardize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ops 23-24: trim+upper / trim+lower by column-name rule."""
     c = _t(spark, sf_dir, "customer").select(
         "c_custkey",
         F.col("c_name").alias("customer_name"),
@@ -471,6 +481,7 @@ def _noise_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_mostly_null_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 10: keep rows with <50% NULL cells (pure expression)."""
     return filter_mostly_null_rows(_noise_df(spark, sf_dir), 0.5)
 
 
@@ -483,6 +494,7 @@ WHERE (CASE WHEN a IS NULL THEN 1 ELSE 0 END
 
 
 def q_critical_dropna(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 11: drop rows missing any present critical column."""
     return drop_missing_critical(_noise_df(spark, sf_dir), ["a", "c", "absent_col"])
 
 
@@ -492,6 +504,7 @@ SELECT * FROM ({_NOISE_SQL}) WHERE a IS NOT NULL AND c IS NOT NULL
 
 
 def q_null_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 18: per-column null counts in one aggregation."""
     return null_counts(_noise_df(spark, sf_dir))
 
 
@@ -531,6 +544,7 @@ FROM orders
 
 
 def q_drop_allnull_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 31: data-dependent projection dropping all-NULL columns."""
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         F.lit(None).cast("string").alias("dead"),
@@ -547,6 +561,7 @@ ORACLE_DROP_ALLNULL = "SELECT o_orderkey, o_orderpriority AS alive FROM orders"
 # --------------------------------------------------------------------------
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-hour tumbling-window counts/sums over events."""
     ev = _t(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
@@ -605,6 +620,7 @@ FROM sessions GROUP BY user_id, sid
 
 
 def q_events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field extraction from the events props column."""
     ev = _t(spark, sf_dir, "events")
     return ev.select(
         "event_id",
@@ -623,6 +639,7 @@ FROM events
 # --------------------------------------------------------------------------
 
 def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 fingerprint of normalized text per document (exact-dedup key)."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", fingerprint_expr(F.col("text")).alias("fp"))
 
@@ -657,6 +674,7 @@ GROUP BY 3
 
 
 def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace + BPE-ish token counts per document."""
     d = _t(spark, sf_dir, "documents")
     return d.select("doc_id", token_count_expr(F.col("text")).alias("n_tokens"))
 
@@ -670,6 +688,7 @@ FROM documents
 
 
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/stopword-heuristic language ID per document."""
     from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
 
     d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
@@ -712,6 +731,7 @@ FROM s2
 
 
 def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded [0,1] text-quality heuristic per document."""
     from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
 
     d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
@@ -1039,6 +1059,7 @@ def _mh_sql(i: int) -> str:
 
 
 def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """8-component minhash signature per document (one md5 per shingle)."""
     from kaggle_ecommerce_etl_spark.functions.dedup_ml import minhash_signatures
 
     return minhash_signatures(_t(spark, sf_dir, "documents"))
@@ -1053,6 +1074,7 @@ ORACLE_MINHASH = (
 
 
 def q_lsh_candidate_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding near-dup candidates via ONE (band,key) equi-join."""
     from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
         lsh_candidate_pairs,
         minhash_signatures,
@@ -1083,6 +1105,7 @@ ORACLE_LSH_PAIRS = (
 
 
 def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document (staged hash array)."""
     from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
         simhash_from_hashes,
         simhash_hashes_expr,

@@ -682,6 +682,8 @@ FROM orders WHERE o_orderkey % 100 = 4
 # --------------------------------------------------------------------------
 
 def q_categorical_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Op 19 categorical half: exact unique/top/freq per column with
+    a deterministic tiebreak (describe(include='all') parity)."""
     o = _t(spark, sf_dir, "orders")
     return categorical_profile(o, ["o_orderpriority", "o_orderstatus"])
 
