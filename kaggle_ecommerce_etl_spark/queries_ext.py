@@ -2037,6 +2037,65 @@ SELECT 'ref:o_custkey->c_custkey',
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order totals (20 buckets over the data
+    min/max — derived in one tiny agg, the two-phase pattern): the
+    profiling primitive behind any numeric distribution report. Pure
+    expressions + one groupBy."""
+    o = _t(spark, sf_dir, "orders")
+    lo, hi = o.select(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    width = (hi - lo) / 20.0
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.lit(lo)) / F.lit(width)), F.lit(19)
+    ).cast("int")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+ORACLE_PRICE_HIST = """
+WITH b AS (SELECT min(o_totalprice) AS lo,
+                  (max(o_totalprice) - min(o_totalprice)) / 20.0 AS w
+           FROM orders)
+SELECT CAST(least(floor((o_totalprice - b.lo) / b.w), 19) AS INT) AS bucket,
+       count(*) AS n
+FROM orders, b
+GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of: each event attaches the customer's NEXT order at
+    or after the event (lead-time attribution). Same union-window
+    operator, descending time order."""
+    from kaggle_ecommerce_etl_spark.operators.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    r = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("user_id"), "o_orderdate")
+        .agg(F.max("o_orderkey").alias("next_orderkey"))
+    )
+    out = asof_join(
+        ev, r, on=["user_id"], left_ts="ts", right_ts="o_orderdate",
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_orderkey")
+
+
+ORACLE_ASOF_FWD = """
+WITH r AS (
+  SELECT o_custkey, o_orderdate, max(o_orderkey) AS next_orderkey
+  FROM orders GROUP BY 1, 2
+)
+SELECT e.event_id, e.user_id, r.next_orderkey
+FROM events e
+ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2098,6 +2157,8 @@ EXT_REGISTRY = {
     "incremental_agg_merge": (q_incremental_agg_merge, ORACLE_INCR_AGG),
     "zorder_code": (q_zorder_code, ORACLE_ZORDER),
     "data_quality_report": (q_data_quality_report, ORACLE_DQ),
+    "price_histogram": (q_price_histogram, ORACLE_PRICE_HIST),
+    "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_FWD),
 }
 
 
