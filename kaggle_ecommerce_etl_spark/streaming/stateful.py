@@ -36,63 +36,78 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "start long, last long, n long, total double"
 
 
-def _close_sessions(
-    key: tuple,
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    """Emit one row per CLOSED session (gap > 30 min between events)."""
-    (user_id,) = key
+def _make_close_sessions(gap_seconds: int):
+    """Factory returning the per-group stateful function as a CLOSURE.
 
-    if state.hasTimedOut:
-        start, last, n, total = state.get
-        state.remove()
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id],
-                "session_start": [pd.Timestamp(start, unit="us")],
-                "session_end": [pd.Timestamp(last, unit="us")],
-                "n_events": [n],
-                "total_value": [round(total, 2)],
-            }
-        )
-        return
+    applyInPandasWithState pickles the handed function; a module-level
+    function serializes BY REFERENCE (workers must import this
+    package — which fails when only the driver extended sys.path, the
+    exact shape of a harness running from a scratch directory). A
+    closure serializes BY VALUE: self-contained, only stdlib/pandas
+    imports inside."""
 
-    rows = pd.concat(list(pdfs)).sort_values("ts")
-    closed: list[tuple] = []
-    if state.exists:
-        start, last, n, total = state.get
-    else:
-        start = last = None
-        n, total = 0, 0.0
+    def _close_sessions(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        import pandas as pd  # noqa: F811 — resolve inside the worker
 
-    for ts, value in zip(rows["ts"], rows["value"]):
-        us = int(ts.value // 1000)  # ns → µs
-        if start is None:
-            start, last, n, total = us, us, 1, float(value)
-        elif us - last > GAP_SECONDS * 1_000_000:
-            closed.append((start, last, n, total))
-            start, last, n, total = us, us, 1, float(value)
+        (user_id,) = key
+
+        if state.hasTimedOut:
+            start, last, n, total = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [pd.Timestamp(start, unit="us")],
+                    "session_end": [pd.Timestamp(last, unit="us")],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+            return
+
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        closed: list[tuple] = []
+        if state.exists:
+            start, last, n, total = state.get
         else:
-            last, n, total = us, n + 1, total + float(value)
+            start = last = None
+            n, total = 0, 0.0
 
-    state.update((start, last, n, total))
-    # ms epoch; never earlier than the already-advanced watermark (a
-    # session whose natural timeout is in the past fires next batch)
-    desired = last // 1000 + GAP_SECONDS * 1000
-    floor_ms = state.getCurrentWatermarkMs() + 1000
-    state.setTimeoutTimestamp(max(desired, floor_ms))
+        for ts, value in zip(rows["ts"], rows["value"]):
+            us = int(ts.value // 1000)  # ns → µs
+            if start is None:
+                start, last, n, total = us, us, 1, float(value)
+            elif us - last > gap_seconds * 1_000_000:
+                closed.append((start, last, n, total))
+                start, last, n, total = us, us, 1, float(value)
+            else:
+                last, n, total = us, n + 1, total + float(value)
 
-    if closed:
-        yield pd.DataFrame(
-            {
-                "user_id": [user_id] * len(closed),
-                "session_start": [pd.Timestamp(s, unit="us") for s, _, _, _ in closed],
-                "session_end": [pd.Timestamp(e, unit="us") for _, e, _, _ in closed],
-                "n_events": [n_ for _, _, n_, _ in closed],
-                "total_value": [round(t, 2) for _, _, _, t in closed],
-            }
-        )
+        state.update((start, last, n, total))
+        # ms epoch; never earlier than the already-advanced watermark (a
+        # session whose natural timeout is in the past fires next batch)
+        desired = last // 1000 + gap_seconds * 1000
+        floor_ms = state.getCurrentWatermarkMs() + 1000
+        state.setTimeoutTimestamp(max(desired, floor_ms))
+
+        if closed:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(closed),
+                    "session_start": [pd.Timestamp(s, unit="us")
+                                      for s, _, _, _ in closed],
+                    "session_end": [pd.Timestamp(e, unit="us")
+                                    for _, e, _, _ in closed],
+                    "n_events": [n_ for _, _, n_, _ in closed],
+                    "total_value": [round(t, 2) for _, _, _, t in closed],
+                }
+            )
+
+    return _close_sessions
 
 
 def sessionize_stateful(events: DataFrame) -> DataFrame:
@@ -101,7 +116,7 @@ def sessionize_stateful(events: DataFrame) -> DataFrame:
         events.withWatermark("ts", "2 hours")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _close_sessions,
+            _make_close_sessions(GAP_SECONDS),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
