@@ -2096,6 +2096,53 @@ ASOF LEFT JOIN r ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate
 """
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping character-window chunking (the RAG/embedding-ingest
+    primitive): 500-char chunks, 100-char overlap, with (doc_id,
+    chunk_idx, char offset, chunk) rows. Pure expressions —
+    sequence → transform → posexplode; at 100 TB this is a narrow
+    map with no shuffle, and chunk boundaries are deterministic
+    functions of n_chars (no tokenizer state)."""
+    size, stride = 500, 400
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    # window starts: 0, stride, 2·stride, … while start < n_chars,
+    # i.e. i in [0, ceil(n/stride)-1] — matches range() in the oracle
+    starts = F.expr(
+        f"sequence(0, cast(ceil(length(text) / {stride}.0) as int) - 1)"
+    )
+    chunks = F.transform(
+        starts, lambda i: F.substring(F.col("text"), i * stride + 1, size)
+    )
+    return d.select(
+        "doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk")
+    ).select(
+        "doc_id",
+        "chunk_idx",
+        (F.col("chunk_idx") * stride).alias("char_start"),
+        F.length("chunk").alias("chunk_len"),
+        "chunk",
+    )
+
+
+ORACLE_DOC_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, text,
+         CAST(ceil(len(text) / 400.0) AS INT) AS n_chunks
+  FROM documents WHERE len(text) > 0
+),
+c AS (
+  SELECT doc_id, text,
+         CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_idx
+  FROM d
+)
+SELECT doc_id, chunk_idx,
+       chunk_idx * 400 AS char_start,
+       len(substr(text, chunk_idx * 400 + 1, 500)) AS chunk_len,
+       substr(text, chunk_idx * 400 + 1, 500) AS chunk
+FROM c
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2159,6 +2206,7 @@ EXT_REGISTRY = {
     "data_quality_report": (q_data_quality_report, ORACLE_DQ),
     "price_histogram": (q_price_histogram, ORACLE_PRICE_HIST),
     "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_FWD),
+    "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
 }
 
 
