@@ -2143,6 +2143,103 @@ FROM c
 """
 
 
+def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-time near-dup screening: every INCOMING doc (id ≡ 0
+    mod 10) checked against the EXISTING corpus (the rest) for word
+    Jaccard ≥ 0.5 — the production "have we already got this?" gate.
+    Cross-sided inverted-index join (token equi-join between the two
+    sides, never batch×corpus), then per-incoming best match with a
+    (jaccard DESC, id) tiebreak. At 100 TB the batch side is tiny and
+    broadcasts; posting lists stay bounded by the corpus DF guard."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    base = d.select("doc_id", toks.alias("t")).withColumn("sz", F.size("t"))
+    batch = base.filter(F.col("doc_id") % 10 == 0)
+    corpus = base.filter(F.col("doc_id") % 10 != 0)
+    b = batch.select(
+        F.col("doc_id").alias("in_id"), F.col("sz").alias("s1"),
+        F.explode("t").alias("tok"),
+    )
+    c = corpus.select(
+        F.col("doc_id").alias("ex_id"), F.col("sz").alias("s2"),
+        F.explode("t").alias("tok"),
+    )
+    inter = (
+        b.join(c, "tok")
+        .groupBy("in_id", "ex_id", "s1", "s2")
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    jac = F.round(
+        F.col("i").cast("double")
+        / (F.col("s1") + F.col("s2") - F.col("i")).cast("double"),
+        4,
+    )
+    matches = inter.withColumn("jaccard", jac).filter(F.col("jaccard") >= 0.5)
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("in_id").orderBy(
+        F.col("jaccard").desc(), F.col("ex_id").asc()
+    )
+    best = (
+        matches.withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_matches", F.count(F.lit(1)).over(Window.partitionBy("in_id")))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "in_id",
+            "n_matches",
+            F.col("ex_id").alias("best_match"),
+            F.col("jaccard").alias("best_jaccard"),
+        )
+    )
+    return (
+        batch.select(F.col("doc_id").alias("in_id"))
+        .join(best, "in_id", "left")
+        .select(
+            "in_id",
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "best_match",
+            "best_jaccard",
+            F.col("n_matches").isNotNull().alias("is_duplicate"),
+        )
+    )
+
+
+ORACLE_INCR_NEARDUP = """
+WITH base AS (
+  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  FROM documents
+),
+b AS (SELECT doc_id AS in_id, len(t) AS s1, unnest(t) AS tok FROM base
+      WHERE doc_id % 10 = 0),
+c AS (SELECT doc_id AS ex_id, len(t) AS s2, unnest(t) AS tok FROM base
+      WHERE doc_id % 10 <> 0),
+inter AS (
+  SELECT in_id, ex_id, s1, s2, count(*) AS i
+  FROM b JOIN c USING (tok) GROUP BY 1, 2, 3, 4
+),
+m AS (
+  SELECT in_id, ex_id,
+         round(CAST(i AS DOUBLE) / (s1 + s2 - i), 4) AS jaccard
+  FROM inter WHERE round(CAST(i AS DOUBLE) / (s1 + s2 - i), 4) >= 0.5
+),
+best AS (
+  SELECT in_id, n_matches, ex_id AS best_match, jaccard AS best_jaccard
+  FROM (SELECT in_id, ex_id, jaccard,
+               row_number() OVER (PARTITION BY in_id
+                                  ORDER BY jaccard DESC, ex_id) AS rn,
+               count(*) OVER (PARTITION BY in_id) AS n_matches
+        FROM m)
+  WHERE rn = 1
+)
+SELECT d.doc_id AS in_id,
+       coalesce(best.n_matches, 0) AS n_matches,
+       best.best_match, best.best_jaccard,
+       best.n_matches IS NOT NULL AS is_duplicate
+FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+LEFT JOIN best ON d.doc_id = best.in_id
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2207,6 +2304,7 @@ EXT_REGISTRY = {
     "price_histogram": (q_price_histogram, ORACLE_PRICE_HIST),
     "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_FWD),
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
+    "incremental_neardup": (q_incremental_neardup, ORACLE_INCR_NEARDUP),
 }
 
 
