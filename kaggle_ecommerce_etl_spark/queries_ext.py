@@ -2240,6 +2240,78 @@ LEFT JOIN best ON d.doc_id = best.in_id
 """
 
 
+def q_streaming_window_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked tumbling-window aggregation drained end-to-end
+    (append mode): hourly event counts/sums emitted only once their
+    window is past the watermark — a far-future sentinel event
+    advances the final watermark so every REAL window flushes, and the
+    sentinel's own window is excluded. Fourth streaming paradigm on
+    the oracle surface (after dedup, custom state, foreachBatch)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    )
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = _hl.md5(
+        f"win:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    done = src_dir + "/_SPARK_GRAFT_READY"
+    if not os.path.exists(done):
+        sentinel = spark.createDataFrame(
+            [(0,)], "user_id long"
+        ).select(
+            "user_id",
+            F.lit("2030-01-01").cast("timestamp").alias("ts"),
+            F.lit(0.0).alias("value"),
+        )
+        ev.unionByName(sentinel).repartition(2).write.mode("overwrite").parquet(
+            src_dir
+        )
+        with open(done, "w") as fh:
+            fh.write("ok")
+
+    qname = "window_run_" + tag
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(qname)
+        .filter(F.col("w.start") < F.lit("2029-01-01").cast("timestamp"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+ORACLE_STREAMING_WINDOW = """
+SELECT date_trunc('hour', ts) AS window_start,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2305,6 +2377,7 @@ EXT_REGISTRY = {
     "asof_join_forward": (q_asof_join_forward, ORACLE_ASOF_FWD),
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     "incremental_neardup": (q_incremental_neardup, ORACLE_INCR_NEARDUP),
+    "streaming_window_run": (q_streaming_window_run, ORACLE_STREAMING_WINDOW),
 }
 
 
