@@ -2312,6 +2312,47 @@ FROM events GROUP BY 1
 """
 
 
+def q_persist_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §4 caching/reuse: an expensive intermediate (tokenized
+    docs) is persisted ONCE and consumed by two different aggregates
+    (per-language and global), unioned into one report — the Spark
+    rendering of the reference reusing its transform() result for the
+    CSV and PG sinks (pg.py:725-737). The plan shows one
+    InMemoryRelation feeding both branches (asserted in
+    tests/test_queries_ext.py)."""
+    from kaggle_ecommerce_etl_spark.functions.text import token_count_expr
+
+    d = _t(spark, sf_dir, "documents")
+    tk = d.select(
+        "lang", token_count_expr(F.col("text")).alias("n_tokens")
+    ).persist()
+    per_lang = tk.groupBy("lang").agg(
+        F.sum("n_tokens").cast("double").alias("val")
+    ).select(F.lit("lang_tokens").alias("metric"), F.col("lang").alias("key"), "val")
+    overall = tk.agg(
+        F.avg("n_tokens").alias("a")
+    ).select(
+        F.lit("mean_tokens").alias("metric"),
+        F.lit("all").alias("key"),
+        F.round("a", 6).alias("val"),
+    )
+    return per_lang.unionByName(overall)
+
+
+ORACLE_PERSIST_REUSE = """
+WITH tk AS (
+  SELECT lang,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+)
+SELECT 'lang_tokens' AS metric, lang AS key, CAST(sum(n_tokens) AS DOUBLE) AS val
+FROM tk GROUP BY 2
+UNION ALL
+SELECT 'mean_tokens', 'all', round(avg(n_tokens), 6) FROM tk
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2378,6 +2419,7 @@ EXT_REGISTRY = {
     "doc_chunks": (q_doc_chunks, ORACLE_DOC_CHUNKS),
     "incremental_neardup": (q_incremental_neardup, ORACLE_INCR_NEARDUP),
     "streaming_window_run": (q_streaming_window_run, ORACLE_STREAMING_WINDOW),
+    "persist_reuse": (q_persist_reuse, ORACLE_PERSIST_REUSE),
 }
 
 

@@ -132,3 +132,14 @@ def test_ext_query_schema_stable(spark, sf_dir, name):
     fn, _oracle = qx.EXT_REGISTRY[name]
     df = fn(spark, sf_dir)
     assert df.columns == fn(spark, sf_dir).columns
+
+
+def test_persist_reuse_one_inmemory_relation(spark, sf_dir):
+    """Both aggregate branches must read the SAME cached relation."""
+    df = qx.q_persist_reuse(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("InMemoryTableScan") == 2, plan[:500]
+    rows = {(r.metric, r.key): r.val for r in df.collect()}
+    assert ("mean_tokens", "all") in rows
+    n_langs = sum(1 for m, _k in rows if m == "lang_tokens")
+    assert n_langs >= 3
