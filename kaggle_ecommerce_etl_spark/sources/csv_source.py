@@ -89,3 +89,45 @@ def with_filename_timestamp(df: DataFrame) -> DataFrame:
         "_file_ts",
         F.try_to_timestamp(ts_str, F.lit(FILENAME_TS_FORMAT)),
     )
+
+
+def read_csv_quarantine(
+    spark: SparkSession,
+    path: str | list[str],
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE read with a corrupt-record quarantine: returns
+    (good, quarantined) — good rows with the file's own header columns
+    (all string, §1's "object then coerce" model), quarantined rows as
+    their raw line text for audit/replay.
+
+    The reference's posture on malformed input is try/except + skip the
+    whole FILE (pg.py:229-233); quarantining keeps the healthy rows of
+    a partially-damaged file and never drops data silently — rows whose
+    field count does not match the header (extra OR missing columns)
+    land in quarantine instead of being mis-parsed. At scale this is the difference
+    between re-ingesting a 100 GB drop and re-processing 12 bad lines."""
+    from pyspark.sql import types as T
+
+    header_df = spark.read.option("header", True).csv(
+        path if isinstance(path, str) else list(path)
+    )
+    schema = T.StructType(
+        [T.StructField(c, T.StringType(), True) for c in header_df.columns]
+        + [T.StructField("_corrupt_record", T.StringType(), True)]
+    )
+    df = (
+        spark.read.option("header", True)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .schema(schema)
+        .csv(path if isinstance(path, str) else list(path))
+        # PERMISSIVE + corrupt-column reads must be cached before
+        # splitting: Spark disallows filtering ONLY the corrupt column
+        # of an un-materialized scan (internal raw-record pushdown)
+        .cache()
+    )
+    good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
+    bad = df.filter(F.col("_corrupt_record").isNotNull()).select(
+        F.col("_corrupt_record").alias("raw_line")
+    )
+    return good, bad

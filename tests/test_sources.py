@@ -49,3 +49,23 @@ def test_filename_timestamp_extract(spark, tmp_path):
     row = df.collect()[0]
     assert "Amazon" in row._source_file
     assert row._file_ts == dt.datetime(2022, 4, 30, 12, 30, 0)
+
+
+def test_read_csv_quarantine(spark, tmp_path):
+    """Healthy rows of a partially-damaged file survive; rows that
+    cannot align to the header are quarantined as raw lines."""
+    from kaggle_ecommerce_etl_spark.sources.csv_source import read_csv_quarantine
+
+    p = tmp_path / "damaged.csv"
+    p.write_text(
+        "a,b,c\n"
+        "1,2,3\n"
+        "4,5,6,EXTRA,COLS\n"   # too many fields → quarantine
+        "7,8\n"                 # too few fields → quarantine
+        "9,10,11\n"
+    )
+    good, bad = read_csv_quarantine(spark, str(p))
+    g = sorted(tuple(r) for r in good.collect())
+    assert g == [("1", "2", "3"), ("9", "10", "11")]
+    badlines = sorted(r.raw_line for r in bad.collect())
+    assert badlines == ["4,5,6,EXTRA,COLS", "7,8"]
