@@ -2353,6 +2353,50 @@ SELECT 'mean_tokens', 'all', round(avg(n_tokens), 6) FROM tk
 """
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM): two
+    halves of orders aggregated by a NULLABLE key (one priority class
+    nulled) and joined so the NULL groups pair up — the semantics a
+    plain equi-join silently drops."""
+    o = _t(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    a = (
+        o.filter(F.col("o_orderkey") % 2 == 0)
+        .groupBy(key.alias("prio"))
+        .agg(F.count(F.lit(1)).alias("cnt_even"))
+    )
+    b = (
+        o.filter(F.col("o_orderkey") % 2 == 1)
+        .groupBy(key.alias("prio_b"))
+        .agg(F.count(F.lit(1)).alias("cnt_odd"))
+    )
+    return (
+        a.join(b, a["prio"].eqNullSafe(b["prio_b"]), "full_outer")
+        .select(
+            F.coalesce("prio", "prio_b").alias("prio_key"),
+            F.col("prio").isNull().alias("is_null_class"),
+            "cnt_even",
+            "cnt_odd",
+        )
+    )
+
+
+ORACLE_NULL_SAFE = """
+WITH a AS (
+  SELECT nullif(o_orderpriority, '1-URGENT') AS prio, count(*) AS cnt_even
+  FROM orders WHERE o_orderkey % 2 = 0 GROUP BY 1
+),
+b AS (
+  SELECT nullif(o_orderpriority, '1-URGENT') AS prio_b, count(*) AS cnt_odd
+  FROM orders WHERE o_orderkey % 2 = 1 GROUP BY 1
+)
+SELECT coalesce(a.prio, b.prio_b) AS prio_key,
+       a.prio IS NULL AS is_null_class,
+       cnt_even, cnt_odd
+FROM a FULL OUTER JOIN b ON a.prio IS NOT DISTINCT FROM b.prio_b
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2420,6 +2464,7 @@ EXT_REGISTRY = {
     "incremental_neardup": (q_incremental_neardup, ORACLE_INCR_NEARDUP),
     "streaming_window_run": (q_streaming_window_run, ORACLE_STREAMING_WINDOW),
     "persist_reuse": (q_persist_reuse, ORACLE_PERSIST_REUSE),
+    "null_safe_join": (q_null_safe_join, ORACLE_NULL_SAFE),
 }
 
 
