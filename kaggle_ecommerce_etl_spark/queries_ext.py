@@ -2397,6 +2397,56 @@ FROM a FULL OUTER JOIN b ON a.prio IS NOT DISTINCT FROM b.prio_b
 """
 
 
+def q_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive hierarchical rollup (BOM/org-chart aggregation) over
+    a synthesized part tree (parent = key // 8): per ancestor, the
+    count and value of its ENTIRE subtree.
+
+    The oracle is a RECURSIVE CTE; Spark has no recursion, and the
+    scalable equivalent for bounded-depth hierarchies is to UNROLL the
+    ancestor chain into expressions — each row emits its ⌈log₈(max)⌉
+    ancestors via sequence/transform, then one groupBy. No loop, no
+    driver rounds, one shuffle (vs. an iterative join per level —
+    that shape lives in dup_clusters for unbounded graphs)."""
+    part = _t(spark, sf_dir, "part")
+    max_key = part.agg(F.max("p_partkey")).first()[0]
+    depth = 1
+    while (max_key or 0) >= 8**depth:
+        depth += 1
+    ancestors = F.expr(
+        f"""transform(
+              filter(sequence(1, {depth}),
+                     i -> CAST(floor(p_partkey / power(8, i - 1)) AS BIGINT) > 0),
+              i -> CAST(floor(p_partkey / power(8, i)) AS BIGINT))"""
+    )
+    return (
+        part.filter(F.col("p_partkey") > 0)
+        .select("p_retailprice", F.explode(ancestors).alias("ancestor"))
+        .groupBy("ancestor")
+        .agg(
+            F.count(F.lit(1)).alias("n_desc"),
+            F.round(F.sum("p_retailprice"), 2).alias("subtree_value"),
+        )
+    )
+
+
+ORACLE_HIERARCHY = """
+WITH RECURSIVE edges AS (
+  SELECT p_partkey AS child, p_partkey // 8 AS parent, p_retailprice
+  FROM part WHERE p_partkey > 0
+),
+anc AS (
+  SELECT child, parent AS ancestor, p_retailprice FROM edges
+  UNION ALL
+  SELECT a.child, e.parent, a.p_retailprice
+  FROM anc a JOIN edges e ON a.ancestor = e.child
+)
+SELECT ancestor, count(*) AS n_desc,
+       round(sum(p_retailprice), 2) AS subtree_value
+FROM anc GROUP BY 1
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2465,6 +2515,7 @@ EXT_REGISTRY = {
     "streaming_window_run": (q_streaming_window_run, ORACLE_STREAMING_WINDOW),
     "persist_reuse": (q_persist_reuse, ORACLE_PERSIST_REUSE),
     "null_safe_join": (q_null_safe_join, ORACLE_NULL_SAFE),
+    "hierarchy_rollup": (q_hierarchy_rollup, ORACLE_HIERARCHY),
 }
 
 
