@@ -37,6 +37,19 @@ def _round6(x: np.ndarray) -> np.ndarray:
     return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
 
 
+def _make_round6():
+    """Fresh CLOSURE copy of :func:`_round6` for worker-side use.
+    cloudpickle serializes module-level functions BY REFERENCE (the
+    worker must import this package — breaks when only the driver
+    extended sys.path); a closure pickles by value. Every nested
+    mapInPandas body must capture this, never _round6 directly."""
+
+    def _r6(x: np.ndarray) -> np.ndarray:
+        return np.copysign(np.floor(np.abs(x) * 1e6 + 0.5) / 1e6, x)
+
+    return _r6
+
+
 def _as_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
@@ -208,6 +221,8 @@ def cosine_topk_matmul(
     for ids, vecs in _query_chunks(queries, id_col, vec_col, chunk_rows):
         bc = sc.broadcast(_normalized(ids, vecs))
 
+        _r6 = _make_round6()
+
         def _partial_topk(batches, _bc=bc):
             qids, qn = _bc.value
             for pdf in batches:
@@ -217,7 +232,7 @@ def cosine_topk_matmul(
                 cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
                 cids = pdf[id_col].to_numpy(dtype=np.int64)
                 # round BEFORE rank (oracle parity; HALF_UP like SQL round)
-                sims = _round6(qn @ cmat.T)
+                sims = _r6(qn @ cmat.T)
                 sims[qids[:, None] == cids[None, :]] = -np.inf  # self
                 # per-row sort by (-sim, neighbor_id): lexsort the batch
                 order = np.lexsort(
@@ -286,6 +301,8 @@ def cosine_pairs_above(
     for ids, vecs in _query_chunks(df, id_col, vec_col, chunk_rows):
         bc = sc.broadcast(_normalized(ids, vecs))
 
+        _r6 = _make_round6()
+
         def _pairs(batches, _bc=bc):
             qids, qn = _bc.value
             for pdf in batches:
@@ -294,7 +311,7 @@ def cosine_pairs_above(
                 cmat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
                 cmat /= np.linalg.norm(cmat, axis=1, keepdims=True)
                 cids = pdf[id_col].to_numpy(dtype=np.int64)
-                sims = _round6(qn @ cmat.T)  # round BEFORE threshold (HALF_UP)
+                sims = _r6(qn @ cmat.T)  # round BEFORE threshold (HALF_UP)
                 mask = (sims >= threshold) & (qids[:, None] < cids[None, :])
                 ii, jj = np.nonzero(mask)
                 yield pd.DataFrame(
@@ -363,6 +380,8 @@ def cosine_self_topk_blocked(
     )
     schema = "query_id long, neighbor_id long, sim double"
 
+    _r6 = _make_round6()
+
     def _score(batches):
         for pdf in batches:
             for qi, qv, ci, cv in zip(
@@ -374,7 +393,7 @@ def cosine_self_topk_blocked(
                 cn = np.asarray([np.asarray(v) for v in cv], dtype=np.float64)
                 qn /= np.linalg.norm(qn, axis=1, keepdims=True)
                 cn /= np.linalg.norm(cn, axis=1, keepdims=True)
-                sims = _round6(qn @ cn.T)
+                sims = _r6(qn @ cn.T)
                 sims[qids[:, None] == cids[None, :]] = -np.inf
                 order = np.lexsort(
                     (np.broadcast_to(cids, sims.shape), -sims), axis=-1
