@@ -2447,6 +2447,50 @@ FROM anc GROUP BY 1
 """
 
 
+def q_resample_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resampling with GAP FILLING: hourly event counts
+    including EMPTY hours (zero rows) across the corpus span — the
+    dense grid a forecasting/monitoring consumer needs. The hour spine
+    is generated with sequence() over the data min/max (one tiny agg),
+    then left-joined to the hourly aggregate; at scale the spine is
+    |hours| rows — trivially broadcast."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = ev.select(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(F.expr("sequence(lo, hi, interval 1 hour)")).alias("hour")
+    )
+    return (
+        spine.join(F.broadcast(agg), spine["hour"] == agg["h"], "left")
+        .select(
+            "hour",
+            F.coalesce("n", F.lit(0)).alias("n_events"),
+            F.col("n").isNull().alias("is_gap"),
+        )
+    )
+
+
+ORACLE_RESAMPLE = """
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS h, count(*) AS n FROM events GROUP BY 1
+),
+bounds AS (
+  SELECT date_trunc('hour', min(ts)) AS lo, date_trunc('hour', max(ts)) AS hi
+  FROM events
+),
+spine AS (
+  SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour FROM bounds
+)
+SELECT spine.hour, coalesce(agg.n, 0) AS n_events, agg.n IS NULL AS is_gap
+FROM spine LEFT JOIN agg ON spine.hour = agg.h
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2516,6 +2560,7 @@ EXT_REGISTRY = {
     "persist_reuse": (q_persist_reuse, ORACLE_PERSIST_REUSE),
     "null_safe_join": (q_null_safe_join, ORACLE_NULL_SAFE),
     "hierarchy_rollup": (q_hierarchy_rollup, ORACLE_HIERARCHY),
+    "resample_gapfill": (q_resample_gapfill, ORACLE_RESAMPLE),
 }
 
 
