@@ -2491,6 +2491,43 @@ FROM spine LEFT JOIN agg ON spine.hour = agg.h
 """
 
 
+def q_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): the wide per-status aggregate (count/total/avg
+    columns) reshaped to long (status, metric, value) rows —
+    ``stack``'s inverse pairing with pivot_status. Pure projection
+    after one agg."""
+    o = _t(spark, sf_dir, "orders")
+    wide = o.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("double").alias("n_orders"),
+        F.round(F.sum(F.col("o_totalprice").cast("decimal(23,8)")), 2)
+        .cast("double")
+        .alias("total"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_price"),
+    )
+    return wide.selectExpr(
+        "o_orderstatus",
+        "stack(3, 'n_orders', n_orders, 'total', total, "
+        "'avg_price', avg_price) as (metric, value)",
+    )
+
+
+ORACLE_UNPIVOT = """
+WITH wide AS (
+  SELECT o_orderstatus,
+         CAST(count(*) AS DOUBLE) AS n_orders,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,8))), 2) AS DOUBLE)
+           AS total,
+         round(avg(o_totalprice), 4) AS avg_price
+  FROM orders GROUP BY 1
+)
+SELECT o_orderstatus, 'n_orders' AS metric, n_orders AS value FROM wide
+UNION ALL
+SELECT o_orderstatus, 'total', total FROM wide
+UNION ALL
+SELECT o_orderstatus, 'avg_price', avg_price FROM wide
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
@@ -2561,6 +2598,7 @@ EXT_REGISTRY = {
     "null_safe_join": (q_null_safe_join, ORACLE_NULL_SAFE),
     "hierarchy_rollup": (q_hierarchy_rollup, ORACLE_HIERARCHY),
     "resample_gapfill": (q_resample_gapfill, ORACLE_RESAMPLE),
+    "unpivot_metrics": (q_unpivot_metrics, ORACLE_UNPIVOT),
 }
 
 
