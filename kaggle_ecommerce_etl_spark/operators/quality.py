@@ -61,6 +61,10 @@ def validate(df: DataFrame, rules: list) -> DataFrame:
     All 'agg' rules ride ONE aggregation job; each referential rule
     adds one broadcast anti-join count folded into the same result
     frame via a cross of 1-row aggregates (unioned, not collected)."""
+    if not rules:
+        return df.sparkSession.createDataFrame(
+            [], "rule string, violations long, passed boolean"
+        )
     agg_rules = [(name, e) for name, kind, e in rules if kind == "agg"]
     ref_rules = [(name, e) for name, kind, e in rules if kind == "ref"]
 
@@ -69,13 +73,16 @@ def validate(df: DataFrame, rules: list) -> DataFrame:
         wide = df.agg(
             *[e.cast("long").alias(f"__m{i}") for i, (_n, e) in enumerate(agg_rules)]
         )
-        stacked = "stack({n}, {args}) as (rule, violations)".format(
-            n=len(agg_rules),
-            args=", ".join(
-                f"'{name}', __m{i}" for i, (name, _e) in enumerate(agg_rules)
-            ),
+        # rule names ride as lit() Column args (never interpolated into
+        # SQL text — quotes/backslashes in column names stay safe)
+        pairs: list[Column] = []
+        for i, (name, _e) in enumerate(agg_rules):
+            pairs += [F.lit(name), F.col(f"__m{i}")]
+        parts.append(
+            wide.select(
+                F.stack(F.lit(len(agg_rules)), *pairs).alias("rule", "violations")
+            )
         )
-        parts.append(wide.selectExpr(stacked))
     for name, (dim, dim_col, col) in ref_rules:
         missing = (
             df.select(F.col(col))

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 __all__ = ["asof_join", "asof_join_broadcast", "range_join_bucketed"]
 
@@ -55,6 +56,13 @@ def asof_join(
     (ts, side) → filter to left rows. Right rows sort before left
     rows at equal ts, so an event AT a dimension-change timestamp
     sees the new state, matching ``ts_l >= ts_r``.
+
+    The right payload travels as a SINGLE struct column (non-null for
+    every right row, even when its fields are NULL) so the carry-
+    forward is atomic: a matched right row's legitimately-NULL field
+    stays NULL instead of being overwritten by an older row's value,
+    and multi-column payloads can never mix fields from different
+    right rows.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
@@ -62,21 +70,25 @@ def asof_join(
     clash = set(payload) & set(left.columns)
     if clash:
         raise ValueError(f"right payload columns collide with left: {sorted(clash)}")
+    if not payload:
+        # no payload columns -> left-outer as-of join adds nothing
+        return left
 
+    payload_t = T.StructType([right.schema[c] for c in payload])
     l_pass = [c for c in left.columns if c not in on and c != left_ts]
     l_tag = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *l_pass,
-        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in payload],
+        F.lit(None).cast(payload_t).alias("__payload"),
     )
     r_tag = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(left.schema[c].dataType).alias(c) for c in l_pass],
-        *payload,
+        F.struct(*payload).alias("__payload"),
     )
     ts_order: Column = (
         F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
@@ -91,11 +103,13 @@ def asof_join(
         "__ts",
         "__side",
         *l_pass,
-        *[F.last(c, ignorenulls=True).over(w).alias(c) for c in payload],
+        F.last("__payload", ignorenulls=True).over(w).alias("__payload"),
     )
     out = carried.filter(F.col("__side") == 1).withColumnRenamed("__ts", left_ts)
-    # restore the left frame's column order, payload appended
-    return out.select(*left.columns, *payload)
+    # restore the left frame's column order, payload unpacked + appended
+    return out.select(
+        *left.columns, *[F.col("__payload")[c].alias(c) for c in payload]
+    )
 
 
 def range_join_bucketed(

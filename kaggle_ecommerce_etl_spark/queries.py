@@ -1463,11 +1463,20 @@ def _merge_extensions() -> None:
     try:
         from kaggle_ecommerce_etl_spark.queries_ext import EXT_REGISTRY
     except ImportError:
-        # queries_ext is mid-import (a caller imported IT first and it
-        # pulled this module in): its tail calls back into
-        # _merge_extensions once EXT_REGISTRY exists, so the surface is
-        # identical under either import order.
-        return
+        import sys
+
+        mod = sys.modules.get("kaggle_ecommerce_etl_spark.queries_ext")
+        if mod is not None and not hasattr(mod, "EXT_REGISTRY"):
+            # queries_ext is mid-import (a caller imported IT first and
+            # it pulled this module in): its tail calls back into
+            # _merge_extensions once EXT_REGISTRY exists, so the
+            # surface is identical under either import order.
+            return
+        # a GENUINE import failure inside queries_ext (its sys.modules
+        # entry is removed on failure) — swallowing it would leave the
+        # __EXT_TOP__ placeholder in REGISTRY and crash the driver /
+        # plan_audit later with a far less useful error. Re-raise.
+        raise
     merged: dict[str, tuple[QueryFn, str | None]] = {}
     for name, entry in list(REGISTRY.items()):
         if name == "__EXT_TOP__":

@@ -21,6 +21,43 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _base_t(spark, sf_dir, name)
 
 
+def _publish_fixture_dir(src_dir: str, build) -> None:
+    """Publish a streaming-fixture directory exactly once, safely under
+    CONCURRENT callers (pytest alongside check_oracle/plan_audit, which
+    both execute these query fns): each caller builds into a private
+    pid-scoped stage dir, writes the ``_SPARK_GRAFT_READY`` marker
+    INSIDE it, then atomically ``os.rename``s into place. A losing
+    racer's rename fails (destination exists) and its stage is
+    discarded — no window where a reader can observe a half-written
+    ``src_dir`` carrying the marker."""
+    import os
+    import shutil
+
+    done = src_dir + "/_SPARK_GRAFT_READY"
+    if os.path.exists(done):
+        return
+    stage = f"{src_dir}.__stage__{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    build(stage)
+    with open(stage + "/_SPARK_GRAFT_READY", "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, src_dir)
+        return
+    except OSError:
+        pass
+    if os.path.exists(done):  # lost the race to a complete winner
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    # destination exists but is marker-less (a CRASHED earlier run):
+    # replace it with our complete stage
+    shutil.rmtree(src_dir, ignore_errors=True)
+    try:
+        os.rename(stage, src_dir)
+    except OSError:  # another racer completed the replacement first
+        shutil.rmtree(stage, ignore_errors=True)
+
+
 # --------------------------------------------------------------------------
 # TPC-H shapes (adapted to the driver's slimmer star schema)
 # --------------------------------------------------------------------------
@@ -1218,14 +1255,12 @@ def q_streaming_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:8]
     src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
-    done = src_dir + "/_SPARK_GRAFT_READY"
-    if not os.path.exists(done):
+
+    def _build(stage: str) -> None:
         dups = ev.filter(F.col("event_id") % 3 == 0)
-        ev.unionByName(dups).repartition(2).write.mode("overwrite").parquet(
-            src_dir
-        )
-        with open(done, "w") as fh:
-            fh.write("ok")
+        ev.unionByName(dups).repartition(2).write.mode("overwrite").parquet(stage)
+
+    _publish_fixture_dir(src_dir, _build)
 
     qname = "dedup_run_" + tag
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
@@ -1699,8 +1734,8 @@ def q_streaming_sessionize_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"sess:v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:8]
     src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
-    done = src_dir + "/_SPARK_GRAFT_READY"
-    if not os.path.exists(done):
+
+    def _build(stage: str) -> None:
         sentinels = (
             ev.select("user_id")
             .distinct()
@@ -1708,10 +1743,10 @@ def q_streaming_sessionize_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("value", F.lit(0.0))
         )
         ev.unionByName(sentinels).repartition(2).write.mode("overwrite").parquet(
-            src_dir
+            stage
         )
-        with open(done, "w") as fh:
-            fh.write("ok")
+
+    _publish_fixture_dir(src_dir, _build)
 
     qname = "sessionize_run_" + tag
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
@@ -1807,20 +1842,20 @@ def q_streaming_upsert_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ups:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:8]
     src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
-    done = src_dir + "/_SPARK_GRAFT_READY"
-    if not os.path.exists(done):
-        os.makedirs(src_dir, exist_ok=True)
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage, exist_ok=True)
         for name, frame in (
             ("a", orders.filter(F.col("o_orderkey") % 3 != 2)),
             ("b", orders.filter(F.col("o_orderkey") % 3 != 0)),
         ):
-            stage = f"{src_dir}.__stage_{name}"
-            frame.coalesce(1).write.mode("overwrite").parquet(stage)
-            part = _glob.glob(stage + "/part-*.parquet")[0]
-            os.replace(part, f"{src_dir}/{name}.parquet")
-            shutil.rmtree(stage, ignore_errors=True)
-        with open(done, "w") as fh:
-            fh.write("ok")
+            sub = f"{stage}.__part_{name}"
+            frame.coalesce(1).write.mode("overwrite").parquet(sub)
+            part = _glob.glob(sub + "/part-*.parquet")[0]
+            os.replace(part, f"{stage}/{name}.parquet")
+            shutil.rmtree(sub, ignore_errors=True)
+
+    _publish_fixture_dir(src_dir, _build)
 
     target = tempfile.mkdtemp(prefix="upsert_tgt_")
     shutil.rmtree(target, ignore_errors=True)
@@ -2259,8 +2294,8 @@ def q_streaming_window_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"win:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:8]
     src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
-    done = src_dir + "/_SPARK_GRAFT_READY"
-    if not os.path.exists(done):
+
+    def _build(stage: str) -> None:
         sentinel = spark.createDataFrame(
             [(0,)], "user_id long"
         ).select(
@@ -2269,10 +2304,10 @@ def q_streaming_window_run(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0.0).alias("value"),
         )
         ev.unionByName(sentinel).repartition(2).write.mode("overwrite").parquet(
-            src_dir
+            stage
         )
-        with open(done, "w") as fh:
-            fh.write("ok")
+
+    _publish_fixture_dir(src_dir, _build)
 
     qname = "window_run_" + tag
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)

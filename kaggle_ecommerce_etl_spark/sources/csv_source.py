@@ -121,10 +121,15 @@ def read_csv_quarantine(
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .schema(schema)
         .csv(path if isinstance(path, str) else list(path))
-        # PERMISSIVE + corrupt-column reads must be cached before
-        # splitting: Spark disallows filtering ONLY the corrupt column
-        # of an un-materialized scan (internal raw-record pushdown)
-        .cache()
+        # Spark disallows filtering ONLY the corrupt column of an
+        # un-materialized scan (internal raw-record pushdown), and a
+        # .cache() here would leak in the CacheManager (the caller
+        # can't know it must unpersist). An EAGER localCheckpoint
+        # materializes the full-row parse once, severs the CSV lineage
+        # (so the corrupt-only filters below are legal), and its
+        # storage is reclaimed by the ContextCleaner when the returned
+        # frames are garbage-collected — no unpersist contract needed.
+        .localCheckpoint(eager=True)
     )
     good = df.filter(F.col("_corrupt_record").isNull()).drop("_corrupt_record")
     bad = df.filter(F.col("_corrupt_record").isNotNull()).select(

@@ -55,3 +55,18 @@ def test_validate_clean_frame_passes(spark):
     ).collect()
     assert all(r.passed for r in out)
     assert all(r.violations == 0 for r in out)
+
+
+def test_validate_empty_rules_returns_empty_frame(spark):
+    df = spark.createDataFrame([(1,)], "k int")
+    out = validate(df, [])
+    assert out.columns == ["rule", "violations", "passed"]
+    assert out.count() == 0
+
+
+def test_validate_rule_name_with_quote_is_safe(spark):
+    # a column named with a single quote must not break the stack()
+    # (rule names ride as lit() args, never interpolated into SQL)
+    df = spark.createDataFrame([(1, None)], "k int, `o'brien` int")
+    out = {r.rule: r.violations for r in validate(df, [expect_not_null("`o'brien`")]).collect()}
+    assert out == {"not_null:`o'brien`": 1}

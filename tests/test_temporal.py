@@ -64,6 +64,54 @@ def test_asof_forward(frames):
     assert got == {"a": 200.0, "b": None, "pre": 100.0, "c": None, "nokey": None}
 
 
+def test_asof_null_payload_not_overwritten(spark):
+    """A matched right row whose payload field is legitimately NULL
+    must yield NULL — not an older right row's value — and multi-
+    column payloads must come atomically from ONE right row (struct
+    carry, never per-column last(ignorenulls) mixing)."""
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01 12:00:00"), "x")], "k int, ts timestamp, tag string"
+    )
+    right = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0, "old"),
+            # the as-of match: price is NULL, src is "new"
+            (1, _ts("2024-01-01 11:00:00"), None, None),
+        ],
+        "k int, rts timestamp, price double, src string",
+    )
+    row = asof_join(left, right, on=["k"], left_ts="ts", right_ts="rts").collect()[0]
+    assert row["price"] is None and row["src"] is None
+
+    from kaggle_ecommerce_etl_spark.operators.temporal import asof_join_broadcast
+
+    row_b = asof_join_broadcast(
+        left, right, on=["k"], left_ts="ts", right_ts="rts"
+    ).collect()[0]
+    assert row_b["price"] is None and row_b["src"] is None
+
+    # mixed case: match has (NULL price, "new" src) — fields must not
+    # be stitched from different right rows
+    right2 = spark.createDataFrame(
+        [
+            (1, _ts("2024-01-01 10:00:00"), 100.0, "old"),
+            (1, _ts("2024-01-01 11:00:00"), None, "new"),
+        ],
+        "k int, rts timestamp, price double, src string",
+    )
+    row2 = asof_join(left, right2, on=["k"], left_ts="ts", right_ts="rts").collect()[0]
+    assert row2["price"] is None and row2["src"] == "new"
+
+
+def test_asof_empty_payload_returns_left(frames):
+    left, right = frames
+    out = asof_join(
+        left, right.select("k", "rts"), on=["k"], left_ts="ts", right_ts="rts"
+    )
+    assert out.columns == left.columns
+    assert out.count() == left.count()
+
+
 def test_asof_rejects_collisions_and_bad_direction(frames):
     left, right = frames
     with pytest.raises(ValueError, match="direction"):
