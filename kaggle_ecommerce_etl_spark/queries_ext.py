@@ -2563,8 +2563,61 @@ SELECT o_orderstatus, 'avg_price', avg_price FROM wide
 """
 
 
+def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PHYSICAL JDBC write/read round-trip through embedded Derby
+    (`jdbc:derby:memory:` — jars on Spark's classpath): the reference's
+    entire load path (typed CREATE TABLE pg.py:450-533, batched inserts
+    pg.py:423-444, ON CONFLICT DO NOTHING pg.py:544-547) executed
+    against a REAL database, not a correct-by-construction wrapper.
+
+    Two overlapping batches plus a full re-delivery (README:119-123's
+    duplicate-Lambda failure mode) drain through write_upsert_jdbc; the
+    table must converge to exactly one row per key — oracle = the plain
+    filtered projection. Idempotent by design, so re-runs inside one
+    JVM (the in-memory DB persists) stay stable."""
+    import hashlib as _hl
+    import os
+
+    from kaggle_ecommerce_etl_spark.sinks.jdbc import (
+        DERBY_DRIVER,
+        derby_memory_url,
+        write_upsert_jdbc,
+    )
+
+    orders = _t(spark, sf_dir, "orders")
+    batch = orders.filter(F.col("o_orderkey") % 7 == 0).select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round("o_totalprice", 2).alias("total_price"),
+    )
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    tag = _hl.md5(
+        f"jdbc:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    url = derby_memory_url(f"rt_{tag}")
+    props = {"driver": DERBY_DRIVER}
+    types = "o_orderkey BIGINT, o_orderstatus VARCHAR(16), total_price DOUBLE"
+    for part in (
+        batch.filter(F.col("o_orderkey") % 2 == 0),  # first half-load
+        batch,  # overlapping full load — only odd keys are new
+        batch,  # exact re-delivery — must append ZERO rows
+    ):
+        write_upsert_jdbc(
+            part, url, "orders_rt", ["o_orderkey"],
+            properties=props, column_types=types,
+        )
+    return spark.read.jdbc(url, "orders_rt", properties=props)
+
+
+ORACLE_JDBC_ROUNDTRIP = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total_price
+FROM orders WHERE o_orderkey % 7 = 0
+"""
+
+
 #: merged into queries.REGISTRY
 EXT_REGISTRY = {
+    "jdbc_roundtrip": (q_jdbc_roundtrip, ORACLE_JDBC_ROUNDTRIP),
     "exists_late_orders": (q_exists_late_orders, ORACLE_EXISTS_LATE),
     "nation_volume_pairs": (q_nation_volume_pairs, ORACLE_NATION_PAIRS),
     "promo_revenue": (q_promo_revenue, ORACLE_PROMO),

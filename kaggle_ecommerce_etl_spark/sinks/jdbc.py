@@ -99,13 +99,17 @@ UPSERT_KEYS: dict[str, list[str]] = {"amazon_sale": ["order_id", "date"]}
 
 def write_jdbc_append(
     df: DataFrame, url: str, table: str, properties: dict | None = None,
-    batchsize: int = 10_000,
+    batchsize: int = 10_000, column_types: str | None = None,
 ) -> None:
     """Plain JDBC append (reference's execute_values batching → the
-    writer's batchsize option)."""
+    writer's batchsize option). ``column_types`` types the CREATE
+    issued on first load (createTableColumnTypes)."""
     props = dict(properties or {})
     props.setdefault("batchsize", str(batchsize))
-    df.write.jdbc(url=url, table=table, mode="append", properties=props)
+    writer = df.write
+    if column_types:
+        writer = writer.option("createTableColumnTypes", column_types)
+    writer.jdbc(url=url, table=table, mode="append", properties=props)
 
 
 def write_upsert(
@@ -152,6 +156,11 @@ def write_upsert_jdbc(
     to_append = upsert_anti_join(
         incoming, existing.select(*keys), keys, order_by=order_by
     )
+    # materialize BEFORE writing: the anti-join reads the very table the
+    # write appends to, so executing them in one job would race the scan
+    # against the insert (and the returned frame would re-run the
+    # anti-join against the post-write table, reporting zero appended)
+    to_append = to_append.localCheckpoint(eager=True)
     writer = to_append.write
     if column_types:
         writer = writer.option("createTableColumnTypes", column_types)
