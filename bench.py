@@ -75,9 +75,12 @@ def main() -> None:
     # shape pays one-time JVM/JIT/codegen compilation (measured 4-8 s
     # of pure C2 time on the md5-heavy minhash plan, dropping to a
     # stable 1.5-1.7 s on every later run) — process cost, not engine
-    # cost. min-of-2 reports the reproducible engine number; n_runs is
-    # recorded so rounds remain comparable.
-    N_RUNS = 2
+    # cost. min-of-N reports the reproducible engine number; n_runs is
+    # recorded so rounds remain comparable. N=3 since r4: r3 recorded
+    # conflict_split_flagged at 2.104 s when BOTH of 2 runs hit a cold
+    # window (same plan measures 0.93 s standalone) — a third run makes
+    # one noisy pair unable to distort the headline.
+    N_RUNS = 3
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn, _oracle = REGISTRY[name]

@@ -334,6 +334,8 @@ def cosine_self_topk_blocked(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_rows: int = 4096,
+    n_rows: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors WITHIN one table (every row is both
     query and candidate), both sides fully distributed — the all-pairs
@@ -358,10 +360,28 @@ def cosine_self_topk_blocked(
     Output/determinism identical to :func:`cosine_topk`: sim HALF_UP-
     rounded to 6 BEFORE ranking, ties by neighbor_id, self excluded.
     ``id_col`` must be integral (output schema pins long ids).
+
+    The block grid is sized WITHOUT a full-scan action (at 100 TB a
+    plan-construction ``count()`` is a whole extra pass): row count is
+    estimated from Catalyst's sizeInBytes statistic divided by an
+    estimated row width (vector dim from a bounded 1-row probe — the
+    same class of driver action as the sanctioned 1-row header fetch).
+    Grid granularity only shapes task sizing, never results: the
+    algorithm is exact under ANY blocking, so a 2-4× row-estimate error
+    just moves block payloads within the same order of magnitude. Pass
+    ``n_rows`` (and ``dim``) to skip estimation entirely.
     """
     spark = df.sparkSession
-    n = df.count()  # one cheap count sizes the block grid
-    n_blocks = max(1, math.ceil(n / block_rows))
+    if n_rows is None:
+        if dim is None:
+            probe = df.select(vec_col).head(1)
+            dim = len(probe[0][0]) if probe and probe[0][0] is not None else 0
+        size_bytes = int(
+            str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+        row_bytes = max(dim * 8 + 48, 64)
+        n_rows = max(1, size_bytes // row_bytes)
+    n_blocks = max(1, math.ceil(n_rows / block_rows))
     src = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),
         F.col(id_col).alias("__id"),

@@ -42,6 +42,13 @@ def get_spark(
         "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
         "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
         "spark.ui.enabled": "false",
+        # deterministic ENGLISH month names (date_format 'MMMM', the
+        # month-normalization ops) regardless of host locale. Spark's
+        # TimestampFormatter pins Locale.US internally (verified under
+        # -Duser.language=fr — tests/test_locale.py), so this is
+        # declared insurance: visible contract + survives a Spark
+        # default-locale behavior change. No-op if the JVM is already up.
+        "spark.driver.extraJavaOptions": "-Duser.language=en -Duser.country=US",
         "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
         # constraint propagation is O(exponential) on wide filters built
         # from many isNull terms (the mostly-null row filter over 20+

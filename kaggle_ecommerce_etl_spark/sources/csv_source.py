@@ -24,6 +24,49 @@ FILENAME_TS_PATTERN = r"_(\d{4}-\d{2}-\d{2}_\d{2}-\d{2}-\d{2})\.csv$"
 FILENAME_TS_FORMAT = "yyyy-MM-dd_HH-mm-ss"
 
 
+def _tail_bytes_garbled(path: str | list[str], enc: str) -> bool:
+    """Byte-level probe of each file's LAST 64 KiB under ``enc`` —
+    catches garbling that starts beyond the head sample (a file whose
+    first rows are clean ASCII but whose tail carries Latin-1 bytes).
+    Local-filesystem only (driver-side open); non-local paths resolve
+    to no files and the probe abstains. Up to 4 leading bytes of the
+    chunk are skipped to find a multi-byte character boundary."""
+    import glob as _glob
+    import os
+
+    paths = [path] if isinstance(path, str) else list(path)
+    files: list[str] = []
+    for p in paths:
+        p = p.removeprefix("file://").removeprefix("file:")
+        if os.path.isdir(p):
+            files += sorted(
+                f for f in _glob.glob(p + "/*") if os.path.isfile(f)
+            )
+        elif os.path.isfile(p):
+            files.append(p)
+        else:
+            files += sorted(f for f in _glob.glob(p) if os.path.isfile(f))
+    for f in files[:8]:  # bounded driver work however many files land
+        size = os.path.getsize(f)
+        with open(f, "rb") as fh:
+            fh.seek(max(0, size - 65536))
+            chunk = fh.read()
+        if not any(
+            _decodes(chunk[skip:], enc)
+            for skip in range(min(4, len(chunk)) + 1)
+        ):
+            return True
+    return False
+
+
+def _decodes(b: bytes, enc: str) -> bool:
+    try:
+        b.decode(enc)
+        return True
+    except UnicodeDecodeError:
+        return False
+
+
 def read_csv_with_encoding_fallback(
     spark: SparkSession,
     path: str | list[str],
@@ -34,10 +77,12 @@ def read_csv_with_encoding_fallback(
     ISO-8859-1 retry, pg.py:104-114).
 
     Spark does not raise on undecodable bytes — it substitutes U+FFFD —
-    so "decode failed" is detected by probing a small sample for the
-    replacement character (cheap driver-side take(), scan not executed
-    beyond the sample). Files legitimately containing U+FFFD would fall
-    through to the last encoding; acceptable for raw-CSV ingest."""
+    so "decode failed" is detected two ways, both bounded driver work:
+    a 20-row head sample probed for the replacement character, plus a
+    strict byte-decode of each local file's last 64 KiB (catches
+    garbling that starts beyond the head rows). Files legitimately
+    containing U+FFFD would fall through to the last encoding;
+    acceptable for raw-CSV ingest."""
     last_df = None
     for enc in encodings:
         df = (
@@ -50,11 +95,15 @@ def read_csv_with_encoding_fallback(
             sample = df.take(20)
         except Exception:  # noqa: BLE001 — unreadable under this encoding
             continue
-        garbled = any(
-            isinstance(v, str) and "�" in v
-            for row in sample
-            for v in row
-        ) or any("�" in c for c in df.columns)
+        garbled = (
+            any(
+                isinstance(v, str) and "�" in v
+                for row in sample
+                for v in row
+            )
+            or any("�" in c for c in df.columns)
+            or _tail_bytes_garbled(path, enc)
+        )
         if not garbled:
             return df
     if last_df is None:

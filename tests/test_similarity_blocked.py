@@ -61,3 +61,28 @@ def test_pairs_above_chunked_equals_bruteforce(spark, sf_dir):
         .select("id1", "id2", "sim")
     )
     assert _rows(chunked) == _rows(brute)
+
+
+def test_self_blocked_no_full_count_at_construction(monkeypatch, spark, sf_dir):
+    """Block-grid sizing must not run a full-scan count() while the
+    plan is being BUILT (at 100 TB that's an extra pass per query):
+    construction may only probe one row for the dim + read Catalyst
+    size stats. Results stay exact under any grid."""
+    from pyspark.sql import DataFrame
+
+    def _boom(self):
+        raise AssertionError("full count() during plan construction")
+
+    emb = _emb(spark, sf_dir)
+    expected = _rows(cosine_self_topk_blocked(emb, k=2))
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    out = cosine_self_topk_blocked(emb, k=2)  # would raise pre-fix
+    monkeypatch.undo()
+    assert _rows(out) == expected
+    # explicit n_rows/dim → zero driver actions at construction
+    monkeypatch.setattr(DataFrame, "count", _boom)
+    monkeypatch.setattr(DataFrame, "head", _boom)
+    monkeypatch.setattr(DataFrame, "take", _boom)
+    out2 = cosine_self_topk_blocked(emb, k=2, n_rows=200, dim=16)
+    monkeypatch.undo()
+    assert _rows(out2) == expected

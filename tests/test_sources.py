@@ -69,3 +69,15 @@ def test_read_csv_quarantine(spark, tmp_path):
     assert g == [("1", "2", "3"), ("9", "10", "11")]
     badlines = sorted(r.raw_line for r in bad.collect())
     assert badlines == ["4,5,6,EXTRA,COLS", "7,8"]
+
+
+def test_encoding_fallback_late_garbling(spark, tmp_path):
+    """Latin-1 bytes appearing only at row 100 — far beyond the 20-row
+    head sample — must still trigger the ISO-8859-1 fallback (the tail
+    byte-probe; pre-fix this mis-decoded to U+FFFD silently)."""
+    p = tmp_path / "late.csv"
+    rows = ["name"] + [f"clean{i}" for i in range(99)] + ["Franç"]
+    p.write_bytes(("\n".join(rows) + "\n").encode("iso-8859-1"))
+    df = read_csv_with_encoding_fallback(spark, str(p))
+    vals = [r["name"] for r in df.collect()]
+    assert "Franç" in vals and not any("�" in v for v in vals)
