@@ -84,6 +84,28 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _dsum(col: Column | str, scale: int = 2) -> Column:
+    """Order-independent SUM for oracle-compared doubles: accumulate in
+    DECIMAL(23,8) (exact addition — immune to the one-cent divergence a
+    double sum can show vs DuckDB when the two engines reduce in a
+    different order; it bit returned_revenue after an r3 testdata
+    regen), round, hand back double. The SQL twin is
+    ``CAST(round(sum(CAST(x AS DECIMAL(23,8))), s) AS DOUBLE)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(F.sum(c.cast("decimal(23,8)")), scale).cast("double")
+
+
+def _davg(col: Column | str, scale: int = 4) -> Column:
+    """AVG via the exact decimal sum: both engines divide the SAME
+    exact numerator by the same count, so the double division result is
+    bit-identical. SQL twin:
+    ``round(CAST(sum(CAST(x AS DECIMAL(23,8))) AS DOUBLE) / count(x), s)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(
+        F.sum(c.cast("decimal(23,8)")).cast("double") / F.count(c), scale
+    )
+
+
 # --------------------------------------------------------------------------
 # flagship / relational core
 # --------------------------------------------------------------------------
@@ -98,13 +120,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            _dsum("l_quantity").alias("sum_qty"),
+            _dsum("l_extendedprice").alias("sum_base_price"),
+            _dsum(disc_price).alias("sum_disc_price"),
+            _dsum(charge).alias("sum_charge"),
+            _davg("l_quantity").alias("avg_qty"),
+            _davg("l_extendedprice").alias("avg_price"),
+            _davg("l_discount", 6).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")
@@ -113,13 +135,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PRICING = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                        AS sum_qty,
-       round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-       round(avg(l_quantity), 4)                                        AS avg_qty,
-       round(avg(l_extendedprice), 4)                                   AS avg_price,
-       round(avg(l_discount), 6)                                        AS avg_disc,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(23,8))), 2) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(23,8))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,8))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(23,8))), 2) AS DOUBLE) AS sum_charge,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(23,8))) AS DOUBLE) / count(l_quantity), 4) AS avg_qty,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(23,8))) AS DOUBLE) / count(l_extendedprice), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(23,8))) AS DOUBLE) / count(l_discount), 6) AS avg_disc,
        count(*)                                                         AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -148,9 +170,9 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(reg.r_name == "ASIA")
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
         )
         .orderBy(F.col("revenue").desc(), F.col("n_name"))
     )
@@ -158,7 +180,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REVENUE_BY_NATION = """
 SELECT n_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,8))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders    ON l_orderkey = o_orderkey
 JOIN customer  ON o_custkey = c_custkey
@@ -567,7 +589,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.round(F.sum("value"), 2).alias("total"),
+            _dsum("value").alias("total"),
         )
         .select(
             F.col("w.start").alias("window_start"),
@@ -580,7 +602,8 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TUMBLING = """
 SELECT date_trunc('hour', ts) AS window_start, event_type,
-       count(*) AS n, round(sum(value), 2) AS total
+       count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(23,8))), 2) AS DOUBLE) AS total
 FROM events GROUP BY 1, 2
 """
 
@@ -803,14 +826,14 @@ def q_revenue_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            _dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 ORACLE_REVENUE_FILTER = """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+SELECT CAST(round(sum(CAST(l_extendedprice * l_discount AS DECIMAL(23,8))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_lines
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -830,7 +853,11 @@ def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(cust.filter(F.col("c_mktsegment") == "BUILDING"),
               orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(
+            _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            )
+        )
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(10)
     )
@@ -838,7 +865,7 @@ def q_top_unshipped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOP_UNSHIPPED = """
 SELECT l_orderkey, o_orderdate, o_orderpriority,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(23,8))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -856,14 +883,16 @@ def q_big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .agg(_dsum("l_quantity").alias("total_qty"))
         .filter(F.col("total_qty") > 150)
     )
 
 
 ORACLE_BIG_ORDERS = """
-SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
-FROM lineitem GROUP BY l_orderkey HAVING round(sum(l_quantity), 2) > 150
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(23,8))), 2) AS DOUBLE) AS total_qty
+FROM lineitem GROUP BY l_orderkey
+HAVING CAST(round(sum(CAST(l_quantity AS DECIMAL(23,8))), 2) AS DOUBLE) > 150
 """
 
 
@@ -878,15 +907,20 @@ def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(23,8)")).over(w), 2
+        )
+        .cast("double")
+        .alias("running_spend"),
     )
 
 
 ORACLE_RUNNING_TOTAL = """
 SELECT o_custkey, o_orderkey,
-       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(23,8))) OVER (
+             PARTITION BY o_custkey
              ORDER BY o_orderdate, o_orderkey
-             ROWS UNBOUNDED PRECEDING), 2) AS running_spend
+             ROWS UNBOUNDED PRECEDING), 2) AS DOUBLE) AS running_spend
 FROM orders
 """
 
@@ -896,12 +930,13 @@ def q_sales_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return (
         li.cube("l_returnflag", "l_linestatus")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+        .agg(F.count(F.lit(1)).alias("n"), _dsum("l_quantity").alias("qty"))
     )
 
 
 ORACLE_SALES_CUBE = """
-SELECT l_returnflag, l_linestatus, count(*) AS n, round(sum(l_quantity), 2) AS qty
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(23,8))), 2) AS DOUBLE) AS qty
 FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
 """
 
@@ -912,14 +947,16 @@ def q_pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
-        .agg(F.round(F.sum("l_quantity"), 2))
+        .agg(_dsum("l_quantity"))
     )
 
 
 ORACLE_PIVOT = """
 SELECT l_returnflag,
-       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS "O",
-       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS "F"
+       CAST(round(sum(CASE WHEN l_linestatus = 'O'
+                      THEN CAST(l_quantity AS DECIMAL(23,8)) END), 2) AS DOUBLE) AS "O",
+       CAST(round(sum(CASE WHEN l_linestatus = 'F'
+                      THEN CAST(l_quantity AS DECIMAL(23,8)) END), 2) AS DOUBLE) AS "F"
 FROM lineitem GROUP BY l_returnflag
 """
 
@@ -1030,7 +1067,8 @@ assigned AS (
   UNION ALL
   SELECT bucket - INTERVAL 30 MINUTE AS window_start, event_type, value FROM b
 )
-SELECT window_start, event_type, count(*) AS n, round(sum(value), 2) AS total
+SELECT window_start, event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(23,8))), 2) AS DOUBLE) AS total
 FROM assigned GROUP BY 1, 2
 """
 
@@ -1324,9 +1362,10 @@ def q_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.when(F.col("o_orderstatus") == "F", 1)).alias("n_finished"),
             F.count(F.when(F.col("o_orderstatus") == "O", 1)).alias("n_open"),
-            F.round(
-                F.sum(F.when(F.col("o_orderstatus") == "F", F.col("o_totalprice")).otherwise(0.0)),
-                2,
+            _dsum(
+                F.when(
+                    F.col("o_orderstatus") == "F", F.col("o_totalprice")
+                ).otherwise(0.0)
             ).alias("finished_value"),
         )
     )
@@ -1336,7 +1375,9 @@ ORACLE_CONDITIONAL_AGG = """
 SELECT c_nationkey,
        count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_finished,
        count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
-       round(sum(CASE WHEN o_orderstatus = 'F' THEN o_totalprice ELSE 0.0 END), 2)
+       CAST(round(sum(CASE WHEN o_orderstatus = 'F'
+                      THEN CAST(o_totalprice AS DECIMAL(23,8))
+                      ELSE CAST(0 AS DECIMAL(23,8)) END), 2) AS DOUBLE)
          AS finished_value
 FROM orders JOIN customer ON o_custkey = c_custkey
 GROUP BY c_nationkey

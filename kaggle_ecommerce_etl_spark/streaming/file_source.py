@@ -57,7 +57,13 @@ def windowed_event_counts(
     win = F.window(ts_col, window, slide) if slide else F.window(ts_col, window)
     return (
         src.groupBy(win.alias("w"), "event_type")
-        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("total"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            # DECIMAL accumulate → exact, order-independent (oracle-safe)
+            F.round(F.sum(F.col("value").cast("decimal(23,8)")), 2)
+            .cast("double")
+            .alias("total"),
+        )
         .select(F.col("w.start").alias("window_start"), "event_type", "n", "total")
     )
 

@@ -107,3 +107,41 @@ def test_prefix_filter_equals_unfiltered_jaccard(spark, sf_dir):
     as_set = lambda rows: {(r.id1, r.id2, r.jaccard) for r in rows}
     assert as_set(pref) == as_set(plain)
     assert len(pref) > 0
+
+
+def test_max_df_cap_prunes_hot_token(spark):
+    """A stopword-frequency token crossing max_df must leave the token
+    UNIVERSE: pairs whose entire overlap is the hot token vanish, and
+    set sizes shrink so surviving Jaccards are exact over the capped
+    vocabulary (the 100 TB guard actually guarding)."""
+    rows = [
+        # docs 1/2: overlap = {the} only; sizes 2 each
+        (1, "the alpha"),
+        (2, "the beta"),
+        # docs 3/4: near-dups sharing {x y} plus the hot token
+        (3, "the x y"),
+        (4, "the x y"),
+    ] + [(i, "the filler%d" % i) for i in range(5, 10)]  # df('the') = 9
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+
+    uncapped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.3, use_shingles=False
+        ).collect()
+    }
+    capped = {
+        (r["id1"], r["id2"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(
+            df, threshold=0.3, use_shingles=False, max_df=5
+        ).collect()
+    }
+    # uncapped: (1,2) pairs on 'the' alone at 1/3 ≥ 0.3
+    assert uncapped[(1, 2)] == 0.3333
+    # capped: 'the' (df 9 > 5) is gone — (1,2) has zero overlap;
+    # (3,4) survives with EXACT Jaccard over the capped vocab: {x,y}
+    # both sides → 2/2 = 1.0 (was 3/3 = 1.0 uncapped)
+    assert (1, 2) not in capped
+    assert capped[(3, 4)] == 1.0
+    # no phantom pairs: every capped pair exists uncapped too
+    assert set(capped) < set(uncapped)
