@@ -51,6 +51,117 @@ HEADLINE = [
 ]
 
 
+#: the 5 most expensive headline queries get an sf1 spot-bench (10×
+#: sf0.1) to expose scaling curves the single-SF bench can't.
+SF1_QUERIES = [
+    "conflict_split_flagged",
+    "revenue_by_nation",
+    "ann_lsh_topk",
+    "word_jaccard_pairs",
+    "minhash_signatures",
+]
+SF1_REPLICAS = 10
+
+
+def _build_sf1(spark, src_dir: str) -> str:
+    """Derive a 10× scale-up of sf0.1 under /tmp (no sf1 testdata is
+    provided). Replicas are DECORRELATED so the scaled corpus behaves
+    like independent samples rather than 10 pathological copies —
+    otherwise pair-generating queries would measure quadratic DATA
+    (every doc meeting its 9 twins), not engine scaling:
+
+    - lineitem/orders/customer: key-offset replicas (join semantics and
+      per-key group sizes preserved; group COUNT scales 10×)
+    - documents: every token salted with the replica id — zero
+      cross-replica token overlap, so posting-list lengths and per-doc
+      stats match the source exactly and pair counts scale linearly
+    - embeddings: component rotation per replica — norms and the
+      distribution preserved, hyperplane/bucket projections decorrelated
+    - supplier/nation/region: dims copied as-is
+
+    Cached under a source-mtime tag; staged + atomically renamed.
+    """
+    import hashlib
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    sig = []
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+        st = os.stat(f"{src_dir}/{t}.parquet")
+        sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
+    tag = hashlib.md5(("|".join(sig) + ":v1").encode()).hexdigest()[:8]
+    dst = f"{tempfile.gettempdir()}/spark_graft_sf1/{tag}"
+    done = f"{dst}/_SPARK_GRAFT_READY"
+    if os.path.exists(done):
+        return dst
+    stage = f"{dst}.__stage__{os.getpid()}"
+    shutil.rmtree(stage, ignore_errors=True)
+    os.makedirs(stage, exist_ok=True)
+
+    rep = spark.range(SF1_REPLICAS).select(F.col("id").alias("__r"))
+    orders = spark.read.parquet(f"{src_dir}/orders.parquet")
+    ok_span = orders.agg(F.max("o_orderkey") + 1).first()[0]
+    ck_span = orders.agg(F.max("o_custkey") + 1).first()[0]
+
+    li = spark.read.parquet(f"{src_dir}/lineitem.parquet").crossJoin(rep)
+    li.withColumn(
+        "l_orderkey", F.col("l_orderkey") + F.col("__r") * ok_span
+    ).drop("__r").write.mode("overwrite").parquet(f"{stage}/lineitem.parquet")
+
+    orders.crossJoin(rep).withColumn(
+        "o_orderkey", F.col("o_orderkey") + F.col("__r") * ok_span
+    ).withColumn(
+        "o_custkey", F.col("o_custkey") + F.col("__r") * ck_span
+    ).drop("__r").write.mode("overwrite").parquet(f"{stage}/orders.parquet")
+
+    spark.read.parquet(f"{src_dir}/customer.parquet").crossJoin(rep).withColumn(
+        "c_custkey", F.col("c_custkey") + F.col("__r") * ck_span
+    ).drop("__r").write.mode("overwrite").parquet(f"{stage}/customer.parquet")
+
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    doc_span = docs.agg(F.max("doc_id") + 1).first()[0]
+    salted = F.array_join(
+        F.transform(
+            F.split(F.col("text"), r"\s+"),
+            lambda x: F.concat(x, F.lit("_"), F.col("__r").cast("string")),
+        ),
+        " ",
+    )
+    docs.crossJoin(rep).withColumn(
+        "doc_id", F.col("doc_id") + F.col("__r") * doc_span
+    ).withColumn("text", salted).drop("__r").write.mode("overwrite").parquet(
+        f"{stage}/documents.parquet"
+    )
+
+    emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    vec_span = emb.agg(F.max("vec_id") + 1).first()[0]
+    rot = F.expr(
+        "concat(slice(embedding, pmod(__r, size(embedding)) + 1, "
+        "size(embedding) - pmod(__r, size(embedding))), "
+        "slice(embedding, 1, pmod(__r, size(embedding))))"
+    )
+    emb.crossJoin(rep).withColumn(
+        "vec_id", F.col("vec_id") + F.col("__r") * vec_span
+    ).withColumn("embedding", rot).drop("__r").write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/embeddings.parquet")
+
+    for t in ("supplier", "nation", "region"):
+        spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{stage}/{t}.parquet")
+
+    with open(f"{stage}/_SPARK_GRAFT_READY", "w") as fh:
+        fh.write("ok")
+    try:
+        os.rename(stage, dst)
+    except OSError:
+        shutil.rmtree(stage, ignore_errors=True)
+    return dst
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -93,19 +204,41 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "n_runs": N_RUNS,
-                "agg": "min",
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+
+    # sf1 spot-bench: 10× derived scale-up for the 5 most expensive
+    # queries — the scaling curve, not just the point measurement.
+    # Disable with SPARK_GRAFT_SF1=0 for quick local iterations.
+    sf1_timings: dict[str, float] = {}
+    sf1_scale: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
+        sf1_dir = _build_sf1(spark, sf_dir)
+        for name in SF1_QUERIES:
+            fn, _oracle = REGISTRY[name]
+            best = None
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            sf1_timings[name] = round(best, 3)
+            if timings.get(name):
+                sf1_scale[name] = round(best / timings[name], 2)
+
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "n_runs": N_RUNS,
+        "agg": "min",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if sf1_timings:
+        # scale factor = sf1 time / sf0.1 time on 10× rows; ≤10 is
+        # linear-or-better (fixed overheads amortize)
+        out["sf1_queries"] = sf1_timings
+        out["sf1_scaleup_vs_sf01"] = sf1_scale
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -248,6 +248,43 @@ def q_pipeline_amazon_flagged(spark: SparkSession, sf_dir: str) -> DataFrame:
     return flagged
 
 
+def q_pipeline_jdbc_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's FULL production flow executed against a REAL
+    database: raw CSV fixture → clean_amazon_sale (pg.py:216-296) →
+    typed CREATE TABLE + idempotent DO-NOTHING upsert on
+    (order_id, date) into embedded Derby (pg.py:450-533, 544-547).
+    The same batch loads TWICE (README:119-123's duplicate-Lambda
+    re-delivery); the table must equal ONE clean pass — oracle =
+    the pipeline_amazon_clean oracle, read back through JDBC."""
+    import hashlib as _hl
+    import os
+
+    from kaggle_ecommerce_etl_spark.sinks.jdbc import (
+        DERBY_DRIVER,
+        derby_memory_url,
+        write_upsert_jdbc,
+    )
+
+    clean, _ = _run_amazon(spark, sf_dir)
+    st = os.stat(f"{sf_dir}/orders.parquet")
+    tag = _hl.md5(
+        f"pjl:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    url = derby_memory_url(f"pjl_{tag}")
+    props = {"driver": DERBY_DRIVER}
+    # NO createTableColumnTypes: several string columns carry NULLs,
+    # and Spark's DerbyDialect binds those as setNull(CLOB) — Derby
+    # rejects that against VARCHAR columns, so the dialect's default
+    # CLOB mapping must own the string columns (see jdbc_column_types;
+    # Postgres TEXT in production has no such restriction)
+    for _ in range(2):  # re-delivery: second pass must append zero rows
+        write_upsert_jdbc(
+            clean, url, "amazon_sale", ["order_id", "date"],
+            properties=props,
+        )
+    return spark.read.jdbc(url, "amazon_sale", properties=props)
+
+
 def _oracle_amazon(op: str) -> str:
     return f"""
 WITH src AS (
@@ -712,6 +749,7 @@ PIPELINE_REGISTRY = {
     "pipeline_sale": (q_pipeline_sale, ORACLE_PIPELINE_SALE),
     "pipeline_amazon_clean": (q_pipeline_amazon_clean, _oracle_amazon("=")),
     "pipeline_amazon_flagged": (q_pipeline_amazon_flagged, _oracle_amazon(">")),
+    "pipeline_jdbc_load": (q_pipeline_jdbc_load, _oracle_amazon("=")),
     "pipeline_international": (q_pipeline_international, ORACLE_PIPELINE_INTL),
     "upsert_roundtrip": (q_upsert_roundtrip, ORACLE_UPSERT),
     "csv_roundtrip": (q_csv_roundtrip, ORACLE_CSV_ROUNDTRIP),

@@ -46,13 +46,25 @@ _JDBC_TYPES = {
 }
 
 
-def jdbc_column_types(table: str) -> str:
+def jdbc_column_types(table: str, skip_strings: bool = False) -> str:
     """``createTableColumnTypes`` clause for a TABLE_DDL table — the
     typed CREATE TABLE the reference issues (pg.py:450-533), expressed
     as the Spark JDBC writer option so the engine, not hand-SQL, owns
-    table creation."""
+    table creation.
+
+    Derby caveat: Spark's DerbyDialect binds string NULLs as
+    ``setNull(CLOB)``, which Derby rejects against VARCHAR columns.
+    ``skip_strings=True`` OMITS the string columns from the clause so
+    the dialect's default (CLOB on Derby) applies to them — required
+    when a Derby table's string columns can carry NULLs, at the cost
+    of string-predicate pushdown (Derby can't filter CLOBs). Postgres
+    (production) maps strings to TEXT and has neither restriction.
+    (The clause only accepts Spark-parseable types, so CLOB can never
+    be written INTO it — omission is the only route.)"""
     return ", ".join(
-        f"{name} {_JDBC_TYPES[typ]}" for name, typ in TABLE_DDL[table]
+        f"{name} {_JDBC_TYPES[typ]}"
+        for name, typ in TABLE_DDL[table]
+        if not (skip_strings and typ == "string")
     )
 
 #: target DDL (reference pg.py:450-533), expressed as Spark SQL types —

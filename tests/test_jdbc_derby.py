@@ -134,3 +134,24 @@ def test_upsert_key_read_is_column_pruned(spark, batch):
     )
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<order_id:string,date:date>" in plan
+
+
+def test_nullable_string_requires_clob_columns(spark):
+    """Derby rule pinned: DerbyDialect binds string NULLs as
+    setNull(CLOB), which Derby REJECTS against VARCHAR columns — so
+    nullable-string tables must leave string columns out of
+    createTableColumnTypes (dialect default CLOB). Both directions
+    proven: VARCHAR + NULL string fails, default CLOB round-trips."""
+    df = spark.createDataFrame(
+        [("k1", None), ("k2", "v")], "k string, s string"
+    )
+    with pytest.raises(Exception, match="CLOB|VARCHAR"):
+        write_jdbc_append(
+            df, derby_memory_url("t_nullstr_varchar"), "t",
+            properties=PROPS, column_types="k VARCHAR(32), s VARCHAR(32)",
+        )
+    url = derby_memory_url("t_nullstr_clob")
+    write_jdbc_append(df, url, "t", properties=PROPS)  # dialect CLOBs
+    back = {r["k"]: r["s"] for r in
+            spark.read.jdbc(url, "t", properties=PROPS).collect()}
+    assert back == {"k1": None, "k2": "v"}

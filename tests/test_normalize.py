@@ -97,3 +97,35 @@ def test_transform_gates(spark):
 def test_drop_all_null_columns(spark):
     df = spark.createDataFrame([(1, None), (2, None)], "a int, b string")
     assert drop_all_null_columns(df).columns == ["a"]
+
+
+def test_summary_stats_contract(spark, sf_dir):
+    """Local correctness anchor for the rows-only `summary_stats`
+    registry entry (no SQL oracle can restate summary()'s
+    Greenwald-Khanna approximate percentiles): schema is pinned, exact
+    stats (count/mean/min/max) match the oracle-checked exact twin,
+    and approximate quartiles land within 1% relative tolerance of the
+    exact percentiles."""
+    from kaggle_ecommerce_etl_spark.normalize.profile import (
+        summary_stats,
+        summary_stats_exact,
+    )
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cols = ["l_quantity", "l_extendedprice"]
+    wide = summary_stats(li, cols)
+    assert wide.columns == ["summary"] + cols
+    stats = {r["summary"]: r for r in wide.collect()}
+    assert set(stats) == {"count", "mean", "stddev", "min", "25%", "50%", "75%", "max"}
+
+    exact = {
+        r["col_name"]: r for r in summary_stats_exact(li, cols).collect()
+    }
+    for c in cols:
+        assert int(stats["count"][c]) == exact[c]["cnt"]
+        assert abs(float(stats["mean"][c]) - exact[c]["mean"]) <= 1e-4 * abs(exact[c]["mean"])
+        assert float(stats["min"][c]) == exact[c]["min_v"]
+        assert float(stats["max"][c]) == exact[c]["max_v"]
+        for pct, name in (("25%", "p25"), ("50%", "p50"), ("75%", "p75")):
+            approx, ex = float(stats[pct][c]), exact[c][name]
+            assert abs(approx - ex) <= max(0.01 * abs(ex), 1e-9), (c, pct, approx, ex)
