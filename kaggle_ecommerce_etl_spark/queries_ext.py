@@ -2760,6 +2760,25 @@ def _append_drift() -> None:
 _append_drift()
 
 
+def _append_ext2() -> None:
+    # bottom import: queries_ext2 needs this module's _t/_dsum helpers,
+    # which are fully defined by the time module bottom runs. If
+    # queries_ext2 is the one mid-import (a caller imported IT first and
+    # it pulled us in), skip — its own bottom-of-module push completes
+    # the merge once EXT2_REGISTRY exists.
+    import sys
+
+    mod = sys.modules.get("kaggle_ecommerce_etl_spark.queries_ext2")
+    if mod is not None and not hasattr(mod, "EXT2_REGISTRY"):
+        return
+    from kaggle_ecommerce_etl_spark.queries_ext2 import EXT2_REGISTRY
+
+    EXT_REGISTRY.update(EXT2_REGISTRY)
+
+
+_append_ext2()
+
+
 def _push_into_base() -> None:
     """Make the merged surface import-order-proof: if a caller imported
     queries_ext FIRST, queries.py's bottom-of-module _merge_extensions

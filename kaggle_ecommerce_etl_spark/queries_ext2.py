@@ -1,0 +1,744 @@
+"""Third query wave: the remaining classic relational shapes the base
+schema supports (TPC-H Q12/Q13/Q17/Q21 adaptations — conditional
+counts over a join, outer-join distribution, aggregate-then-join
+scalar correlation, multi-supplier blame attribution) plus the
+training-corpus operations a 100 TB LLM-data pipeline runs between
+dedup and the tokenizer: sequence packing, deterministic global
+shuffle, document-frequency rarity scoring, semantic (embedding)
+dedup with canonical selection, and target-mix rebalancing — and a
+fifth streaming paradigm (stream-stream interval join).
+
+Same determinism rules as queries.py: rounded doubles, total-order
+tiebreaks, aliases matching the oracle exactly. Merged into
+``queries.REGISTRY`` via queries_ext's EXT_REGISTRY at import time.
+
+Reference parity: the reference engine's ETL surface (pipelines,
+dedup, profiling) is already covered by queries.py/queries_ext.py;
+this module widens the engine surface beyond it, per SURVEY §2's
+"training-data pipeline" mandate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from kaggle_ecommerce_etl_spark.queries_ext import _dsum, _publish_fixture_dir, _t
+
+
+# --------------------------------------------------------------------------
+# relational breadth: the last TPC-H shapes expressible on this schema
+# --------------------------------------------------------------------------
+
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipmode → linestatus, no l_shipmode column in
+    this schema): conditional counts over a join — per linestatus, how
+    many shipped lines belonged to urgent/high- vs lower-priority
+    orders in one year. One shuffle join on l_orderkey (the date
+    filter pushes to the lineitem scan), then a 2-group aggregate."""
+    li = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).alias("high_line_count"),
+            F.sum(1 - high).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+ORACLE_PRIORITY_LINES = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus ORDER BY l_linestatus
+"""
+
+
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer LEFT OUTER JOIN orders with a
+    join-side predicate (non-urgent orders only), per-customer order
+    count, then the distribution of those counts. Two shuffles
+    (custkey join+agg, then the tiny count-of-counts agg); customers
+    with zero qualifying orders stay in the distribution at c_count=0
+    — the outer-join semantics Q13 exists to test."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    ).select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+ORACLE_CUST_ORDER_DIST = """
+WITH per_cust AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey)
+SELECT c_count, COUNT(*) AS custdist
+FROM per_cust GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part average
+    quantity) decorrelated to aggregate-then-join — the per-part
+    averages are a |parts|-row aggregate joined back to lineitem, and
+    the brand filter semi-joins through a BROADCAST part dim, so the
+    only real shuffle is the avg-qty aggregation. Revenue of
+    below-half-average-quantity lines, /7 for the yearly figure."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#12")
+    li_b = li.join(
+        F.broadcast(part.select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_key")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    return (
+        li_b.join(avg_qty, F.col("l_partkey") == F.col("ap_key"))
+        .filter(F.col("l_quantity") < F.lit(0.5) * F.col("avg_qty"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice").cast("decimal(23,8)"))
+                / F.lit(7),
+                2,
+            )
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+ORACLE_SMALL_QTY = """
+WITH avg_qty AS (
+  SELECT l_partkey AS ap_key, AVG(l_quantity) AS aq FROM lineitem GROUP BY 1)
+SELECT CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(23,8))) / 7, 2)
+            AS DOUBLE) AS avg_yearly
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_brand = 'Brand#12'
+JOIN avg_qty ON l_partkey = ap_key
+WHERE l_quantity < 0.5 * aq
+"""
+
+
+def q_late_supplier_blame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting) re-expressed
+    Spark-first: instead of Q21's EXISTS + NOT EXISTS lineitem
+    self-joins (three passes over the fact table), ONE pass aggregates
+    per (order, supplier) lateness flags, a second tiny aggregate per
+    order finds multi-supplier orders where EXACTLY ONE supplier was
+    late (>90 days after order date), and that supplier takes the
+    blame. Two shuffles on l_orderkey, then a broadcast supplier-name
+    join — same answer, a fraction of Q21's plan."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.max(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+                ).cast("int")
+            ).alias("is_late")
+        )
+    )
+    blamed = (
+        per_supp.groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_supp"),
+            F.sum("is_late").alias("n_late"),
+            F.max(
+                F.when(F.col("is_late") == 1, F.col("l_suppkey"))
+            ).alias("blame_key"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    return (
+        blamed.groupBy("blame_key")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .join(F.broadcast(supp), F.col("blame_key") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
+ORACLE_LATE_BLAME = """
+WITH per_supp AS (
+  SELECT l_orderkey, l_suppkey,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY
+                  THEN 1 ELSE 0 END) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+  GROUP BY l_orderkey, l_suppkey),
+blamed AS (
+  SELECT l_orderkey,
+         MAX(CASE WHEN is_late = 1 THEN l_suppkey END) AS blame_key
+  FROM per_supp GROUP BY l_orderkey
+  HAVING COUNT(*) > 1 AND SUM(is_late) = 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM blamed JOIN supplier ON blame_key = s_suppkey
+GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 10
+"""
+
+
+# --------------------------------------------------------------------------
+# training-corpus operations: packing, shuffle, rarity, semantic dedup,
+# mix rebalance
+# --------------------------------------------------------------------------
+
+_PACK_CAPACITY = 2048
+_PACK_BUCKET = 64  # docs per cumsum bucket (range partition stand-in)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step that turns a deduped corpus into
+    fixed-budget training rows: documents in doc_id order are laid
+    head-to-tail and cut into 2048-token bins (a doc spanning a
+    boundary belongs to the bin where it starts, exactly like a
+    streaming packer that lets sequences cross boundaries).
+
+    The global exclusive prefix-sum is computed SCALABLY — never one
+    giant window partition: per-bucket token totals (tiny aggregate)
+    give broadcast offsets, the within-bucket cumsum windows only over
+    its bucket. At 100 TB the bucket would be the range-partition id
+    from a sorted write; the two-phase shape is identical."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
+            "n_tokens"
+        ),
+        F.floor(F.col("doc_id") / _PACK_BUCKET).alias("bkt"),
+    )
+    offsets = (
+        tok.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bkt_tokens"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bkt_tokens").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    win = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    packed = (
+        tok.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "running",
+            F.col("offset") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)),
+        )
+        .withColumn(
+            "bin_id", F.floor(F.col("running") / _PACK_CAPACITY).cast("long")
+        )
+    )
+    return (
+        packed.groupBy("bin_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+ORACLE_PACK_SEQUENCES = f"""
+WITH t AS (
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS running
+  FROM t)
+SELECT CAST(floor(running / {_PACK_CAPACITY}) AS BIGINT) AS bin_id,
+       COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+       MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
+_SHUF_SEED = "shuf42:"
+
+
+def q_corpus_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle — the reproducible corpus-order
+    randomization every training run needs (same seed → same order,
+    no sampling state to checkpoint). Shuffle key = md5(seed || id);
+    the GLOBAL position is assigned scalably: 256 ordered hash-prefix
+    buckets get broadcast row-count offsets (tiny aggregate + tiny
+    window), row_number windows only within a bucket. No stage ever
+    sees a single global partition."""
+    d = _t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        F.md5(
+            F.concat(F.lit(_SHUF_SEED), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("shuf_key"),
+    ).withColumn("bkt", F.substring("shuf_key", 1, 2))
+    offsets = (
+        keyed.groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("n").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    win = Window.partitionBy("bkt").orderBy("shuf_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "bkt")
+        .select(
+            (F.col("offset") + F.row_number().over(win)).alias("pos"),
+            "doc_id",
+        )
+    )
+
+
+ORACLE_CORPUS_SHUFFLE = f"""
+SELECT ROW_NUMBER() OVER (
+         ORDER BY md5('{_SHUF_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+       ) AS pos,
+       doc_id
+FROM documents
+"""
+
+
+def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document rarity profile from corpus document frequency — the
+    integer-exact cousin of unigram-LM perplexity scoring (a
+    deliberately FP-free contract: DF counts are integers, so the
+    oracle match is exact at any scale). Two-phase: corpus DF from one
+    explode+agg over DISTINCT per-doc tokens, joined back to score
+    each document by mean token DF and the fraction of corpus-unique
+    tokens. High rare_frac + low mean_df = candidate gibberish; high
+    mean_df = boilerplate — the filter signal C4/Gopher derive from
+    far costlier LM scoring."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+        ).alias("tok"),
+    )
+    df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        toks.join(df, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.round(F.avg("df"), 4).alias("mean_df"),
+            F.round(
+                F.sum((F.col("df") == 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                4,
+            ).alias("rare_frac"),
+        )
+    )
+
+
+ORACLE_TOKEN_RARITY = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_distinct(
+           string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents),
+df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
+SELECT doc_id, COUNT(*) AS n_distinct,
+       round(AVG(df), 4) AS mean_df,
+       round(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS rare_frac
+FROM toks JOIN df USING (tok)
+GROUP BY doc_id
+"""
+
+
+def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup decision: exact blocked-matmul
+    cosine pairs >= 0.4 (never a cross join) → connected components
+    (iterative min-label propagation, functions.dedup_ml.dup_clusters)
+    → keep the min vec_id per semantic cluster. The iterative Spark
+    algorithm is oracle-checked against a DuckDB RECURSIVE CTE
+    transitive closure over the same pair predicate — an exact-value
+    check of the full dedup DECISION, not just the pair list."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import dup_clusters
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        cosine_pairs_above,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_above(emb, threshold=0.4)
+    labels = dup_clusters(pairs)
+    return (
+        emb.select("vec_id")
+        .join(labels, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster", "vec_id").alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
+ORACLE_SEMANTIC_DEDUP = """
+WITH RECURSIVE t AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cand AS (
+  SELECT a.vec_id AS id1, b.vec_id AS id2
+  FROM t a JOIN t b ON a.vec_id < b.vec_id
+  WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4),
+edges AS (SELECT id1 AS src, id2 AS dst FROM cand
+          UNION SELECT id2, id1 FROM cand),
+reach(id, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id)
+SELECT em.vec_id,
+       COALESCE(cc.cluster_id, em.vec_id) AS cluster_id,
+       em.vec_id = COALESCE(cc.cluster_id, em.vec_id) AS is_kept
+FROM embeddings em LEFT JOIN cc ON em.vec_id = cc.id
+"""
+
+
+_MIX_SEED = "mix42:"
+#: target corpus mix (lang → share); shares sum to 1
+_MIX_TARGET = [("en", 0.4), ("zh", 0.25), ("es", 0.2), ("de", 0.1), ("fr", 0.05)]
+
+
+def q_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Target-mix rebalancing — downsample each language to hit a
+    target mix (en 40 / zh 25 / es 20 / de 10 / fr 5) at the largest
+    total the corpus supports: scale = min over langs of count/share
+    (one tiny aggregate), per-lang quota = floor(share * scale), and
+    the quota picks the lowest seeded-hash-ranked docs (deterministic,
+    reproducible — no sampling state). The rank windows per lang (the
+    natural partition), quotas broadcast; the only wide exchange is
+    the per-lang rank shuffle. The scale factor is rounded to 6
+    decimals on both sides so double vs decimal division can't flip a
+    floor()."""
+    d = _t(spark, sf_dir, "documents")
+    shares = F.create_map(
+        *[x for lang, s in _MIX_TARGET for x in (F.lit(lang), F.lit(s))]
+    )
+    counts = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("share", shares[F.col("lang")])
+    )
+    scale = counts.agg(
+        F.round(F.min(F.col("n") / F.col("share")), 6).alias("scale")
+    )
+    quota = (
+        counts.join(F.broadcast(scale))
+        .select(
+            "lang",
+            F.floor(F.col("share") * F.col("scale")).cast("long").alias("q"),
+        )
+    )
+    win = Window.partitionBy("lang").orderBy("mix_key", "doc_id")
+    ranked = d.select(
+        "doc_id",
+        "lang",
+        F.md5(
+            F.concat(F.lit(_MIX_SEED), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ).alias("mix_key"),
+    ).withColumn("rk", F.row_number().over(win))
+    return (
+        ranked.join(F.broadcast(quota), "lang")
+        .filter(F.col("rk") <= F.col("q"))
+        .select("doc_id", "lang")
+    )
+
+
+ORACLE_MIX_REBALANCE = f"""
+WITH shares(lang, share) AS (
+  VALUES {", ".join(f"('{lang}', {s})" for lang, s in _MIX_TARGET)}),
+counts AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+sc AS (SELECT round(MIN(CAST(n AS DOUBLE) / share), 6) AS scale
+       FROM counts JOIN shares USING (lang)),
+quota AS (SELECT lang, CAST(floor(share * (SELECT scale FROM sc)) AS BIGINT)
+                 AS q
+          FROM shares),
+r AS (SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('{_MIX_SEED}' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents)
+SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
+"""
+
+
+# --------------------------------------------------------------------------
+# source/sink formats beyond CSV/parquet/JDBC: JSONL (the training-data
+# interchange format) and ORC
+# --------------------------------------------------------------------------
+
+def _format_fixture(sf_dir: str, name: str) -> str:
+    import hashlib
+    import tempfile
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    return f"{tempfile.gettempdir()}/spark_graft_fixtures/{tag}/{name}"
+
+
+def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL sink → source round-trip: the documents corpus written as
+    newline-delimited JSON (the de-facto LLM-training interchange
+    format) and read back with an EXPLICIT schema — never
+    inferSchema, which would cost a full extra pass at 100 TB. The
+    distributed write keeps one JSON file per partition; the read
+    lists the directory (pathGlobFilter skips the publish marker)."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    path = _format_fixture(sf_dir, "docs_jsonl")
+
+    def _build(stage: str) -> None:
+        d.repartition(4).write.mode("overwrite").json(stage)
+
+    _publish_fixture_dir(path, _build)
+    from kaggle_ecommerce_etl_spark.sources.json_source import read_jsonl
+
+    return read_jsonl(
+        spark,
+        path,
+        "doc_id long, text string, lang string, source string, n_chars long",
+        glob="part-*",
+    )
+
+
+ORACLE_JSONL_ROUNDTRIP = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+"""
+
+
+def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corrupt-record quarantine on the JSONL path: web-scraped JSONL
+    always carries malformed lines; a PERMISSIVE read with an explicit
+    ``_corrupt_record`` column splits good rows from garbage in ONE
+    scan (no retry pass), mirroring read_csv_quarantine
+    (sources/csv_source.py). Returns the good rows; the two injected
+    broken lines land in quarantine and are asserted in pytest."""
+    from kaggle_ecommerce_etl_spark.sources.json_source import (
+        read_jsonl_quarantine,
+    )
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    path = _format_fixture(sf_dir, "docs_jsonl_corrupt")
+
+    def _build(stage: str) -> None:
+        d.repartition(2).write.mode("overwrite").json(stage)
+        with open(f"{stage}/part-99999-garbage.json", "w") as fh:
+            fh.write('{"doc_id": 1, "lang": "en", "n_chars": \n')
+            fh.write("not json at all\n")
+
+    _publish_fixture_dir(path, _build)
+    good, _bad = read_jsonl_quarantine(
+        spark, path, "doc_id long, lang string, n_chars long", glob="part-*"
+    )
+    return good
+
+
+ORACLE_JSONL_QUARANTINE = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC sink → source round-trip (the warehouse-native columnar
+    sibling of the parquet path): orders projected, written
+    distributed, read back; predicate and projection push into the ORC
+    scan exactly as with parquet."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
+    )
+    path = _format_fixture(sf_dir, "orders_orc")
+
+    def _build(stage: str) -> None:
+        o.repartition(4).write.mode("overwrite").orc(stage)
+
+    _publish_fixture_dir(path, _build)
+    return (
+        spark.read.option("pathGlobFilter", "part-*")
+        .orc(path)
+        .filter(F.col("o_orderstatus") == "O")
+    )
+
+
+ORACLE_ORC_ROUNDTRIP = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderstatus = 'O'
+"""
+
+
+# --------------------------------------------------------------------------
+# streaming: stream-stream interval join (fifth paradigm on the surface)
+# --------------------------------------------------------------------------
+
+def q_stream_stream_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STREAM interval join drained end-to-end: purchases and
+    clicks are two live streams over the same event feed; each
+    purchase joins the SAME user's clicks from the preceding 30
+    minutes. Both sides watermarked (2 h) so the join state is
+    bounded — the time-range conjunct is what lets Spark expire
+    buffered rows; an unbounded stream-stream join would grow state
+    forever. Inner joins emit eagerly, so no sentinel flush is needed
+    (unlike the windowed-agg run)."""
+    import hashlib as _hl
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type",
+    )
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = _hl.md5(
+        f"ssj:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+
+    def _build(stage: str) -> None:
+        ev.repartition(2).write.mode("overwrite").parquet(stage)
+
+    _publish_fixture_dir(src_dir, _build)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    purchases = (
+        stream.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+            F.col("user_id").alias("p_user"),
+        )
+        .withWatermark("p_ts", "2 hours")
+    )
+    clicks = (
+        stream.filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+            F.col("user_id").alias("c_user"),
+        )
+        .withWatermark("c_ts", "2 hours")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    qname = "ssj_run_" + tag
+    query = (
+        joined.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select("purchase_id", "click_id")
+
+
+ORACLE_STREAM_STREAM_JOIN = """
+SELECT p.event_id AS purchase_id, c.event_id AS click_id
+FROM events p JOIN events c
+  ON p.user_id = c.user_id
+ AND p.event_type = 'purchase' AND c.event_type = 'click'
+ AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+"""
+
+
+#: merged into queries_ext.EXT_REGISTRY → queries.REGISTRY
+EXT2_REGISTRY = {
+    "priority_line_counts": (q_priority_line_counts, ORACLE_PRIORITY_LINES),
+    "cust_order_distribution": (
+        q_cust_order_distribution,
+        ORACLE_CUST_ORDER_DIST,
+    ),
+    "small_qty_revenue": (q_small_qty_revenue, ORACLE_SMALL_QTY),
+    "late_supplier_blame": (q_late_supplier_blame, ORACLE_LATE_BLAME),
+    "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
+    "token_rarity": (q_token_rarity, ORACLE_TOKEN_RARITY),
+    "semantic_dedup_keep": (q_semantic_dedup_keep, ORACLE_SEMANTIC_DEDUP),
+    "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
+    "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
+    "jsonl_quarantine": (q_jsonl_quarantine, ORACLE_JSONL_QUARANTINE),
+    "orc_roundtrip": (q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP),
+    "stream_stream_join_run": (
+        q_stream_stream_join_run,
+        ORACLE_STREAM_STREAM_JOIN,
+    ),
+}
+
+
+def _push_into_ext() -> None:
+    """Import-order-proof merge (mirrors queries_ext._push_into_base):
+    if a caller imported THIS module first, queries_ext's bottom
+    _append_ext2 ran while EXT2_REGISTRY didn't exist and skipped —
+    re-run the same merge now that it does (idempotent otherwise)."""
+    from kaggle_ecommerce_etl_spark import queries as _q
+    from kaggle_ecommerce_etl_spark import queries_ext as _qx
+
+    _qx.EXT_REGISTRY.update(EXT2_REGISTRY)
+    _q._merge_extensions()
+
+
+_push_into_ext()

@@ -46,6 +46,9 @@ BNLJ_OK = {
     # (avg threshold / corpus size) broadcast into a non-equi filter
     # join — constant-size broadcast, scale-safe.
     "parts_above_avg": "1-row avg threshold broadcast",
+    # 1-row min(count/share) scale factor broadcast into the |langs|-row
+    # quota table (both driver-tiny) — constant-size, scale-safe.
+    "mix_rebalance": "1-row mix scale factor broadcast into lang quotas",
     "customers_no_orders": "1-row avg balance threshold broadcast",
     "tfidf_top_terms": "1-row corpus-count broadcast for idf",
     # both-sides-distributed block matmul: the 'cross' join pairs the

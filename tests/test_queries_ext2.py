@@ -1,0 +1,206 @@
+"""Tests for the third query wave (queries_ext2.py).
+
+Value-level parity vs DuckDB is covered by scripts/check_oracle.py and
+the driver's t2 gate; these tests assert the semantic invariants the
+oracle hash can't articulate (permutation-ness, mix quotas, cluster
+consistency, packing conservation, stream/batch equivalence).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark import queries_ext2 as q2
+from kaggle_ecommerce_etl_spark.queries import REGISTRY
+
+
+def test_ext2_registry_merged():
+    for name in q2.EXT2_REGISTRY:
+        assert name in REGISTRY
+
+
+def test_priority_line_counts_conserves_join(spark, sf_dir):
+    rows = q2.q_priority_line_counts(spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    assert sum(r.high_line_count + r.low_line_count for r in rows) == li.count()
+
+
+def test_cust_order_distribution_covers_all_customers(spark, sf_dir):
+    rows = q2.q_cust_order_distribution(spark, sf_dir).collect()
+    n_cust = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    assert sum(r.custdist for r in rows) == n_cust
+
+
+def test_small_qty_revenue_single_nonnegative(spark, sf_dir):
+    rows = q2.q_small_qty_revenue(spark, sf_dir).collect()
+    assert len(rows) == 1
+    assert rows[0].avg_yearly is None or rows[0].avg_yearly >= 0.0
+
+
+def test_late_supplier_blame_topk(spark, sf_dir):
+    rows = q2.q_late_supplier_blame(spark, sf_dir).collect()
+    assert len(rows) <= 10
+    assert all(r.numwait > 0 for r in rows)
+    waits = [r.numwait for r in rows]
+    assert waits == sorted(waits, reverse=True)
+
+
+def test_pack_sequences_conservation(spark, sf_dir):
+    """Packing must conserve docs and tokens, and bins (except possibly
+    the last) must reach capacity once the spanning doc lands."""
+    rows = q2.q_pack_sequences(spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    total_tokens = docs.select(
+        F.sum(F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")))
+    ).first()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert sum(r.sum_tokens for r in rows) == total_tokens
+    # bin ids are the dense floor(prefix/capacity) sequence: increasing,
+    # and doc ranges must not interleave
+    bins = [r.bin_id for r in rows]
+    assert bins == sorted(bins)
+    for a, b in zip(rows, rows[1:]):
+        assert a.last_doc < b.first_doc
+
+
+def test_corpus_shuffle_is_permutation(spark, sf_dir):
+    rows = q2.q_corpus_shuffle(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    assert len({r.doc_id for r in rows}) == n
+    # determinism: same seed → identical assignment
+    again = {r.doc_id: r.pos for r in q2.q_corpus_shuffle(spark, sf_dir).collect()}
+    assert all(again[r.doc_id] == r.pos for r in rows)
+    # and it is not the identity order (the point of shuffling)
+    assert any(r.pos != r.doc_id + 1 for r in rows)
+
+
+def test_token_rarity_bounds(spark, sf_dir):
+    rows = q2.q_token_rarity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_distinct >= 1
+        assert r.mean_df >= 1.0
+        assert 0.0 <= r.rare_frac <= 1.0
+
+
+def test_semantic_dedup_cluster_consistency(spark, sf_dir):
+    """Every cosine>=θ pair must land in the same cluster, the label is
+    the min member, and exactly the labels are kept."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        cosine_pairs_above,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    label = {
+        r.vec_id: r.cluster_id
+        for r in q2.q_semantic_dedup_keep(spark, sf_dir).collect()
+    }
+    for r in cosine_pairs_above(emb, threshold=0.4).collect():
+        assert label[r.id1] == label[r.id2]
+    members: dict = {}
+    for vid, c in label.items():
+        members.setdefault(c, []).append(vid)
+    for c, vids in members.items():
+        assert c == min(vids)
+
+
+def test_mix_rebalance_hits_quota(spark, sf_dir):
+    rows = q2.q_mix_rebalance(spark, sf_dir).collect()
+    got: dict = {}
+    for r in rows:
+        got[r.lang] = got.get(r.lang, 0) + 1
+    counts = {
+        r.lang: r.n
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    target = dict(q2._MIX_TARGET)
+    scale = min(counts[lang] / share for lang, share in target.items())
+    for lang, share in target.items():
+        assert got.get(lang, 0) == math.floor(round(share * scale, 6))
+        assert got.get(lang, 0) <= counts[lang]
+
+
+def test_jsonl_roundtrip_lossless(spark, sf_dir):
+    back = q2.q_jsonl_roundtrip(spark, sf_dir)
+    orig = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text", "lang", "source", "n_chars"
+    )
+    assert back.exceptAll(orig).count() == 0
+    assert orig.exceptAll(back).count() == 0
+
+
+def test_jsonl_quarantine_catches_garbage(spark, sf_dir):
+    """The two injected broken lines must quarantine; good rows pass
+    through untouched."""
+    good = q2.q_jsonl_quarantine(spark, sf_dir)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert good.count() == n_docs
+    from kaggle_ecommerce_etl_spark.sources.json_source import (
+        read_jsonl_quarantine,
+    )
+
+    path = q2._format_fixture(sf_dir, "docs_jsonl_corrupt")
+    _good, bad = read_jsonl_quarantine(
+        spark, path, "doc_id long, lang string, n_chars long", glob="part-*"
+    )
+    assert bad.count() == 2
+
+
+def test_orc_roundtrip_pushdown(spark, sf_dir):
+    """The status predicate must reach the ORC scan as a pushed
+    filter, and values must round-trip exactly."""
+    df = q2.q_orc_roundtrip(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan.split(
+        "PushedFilters"
+    )[1][:200], plan[:800]
+    orig = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderstatus") == "O")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round("o_totalprice", 2).alias("total"),
+        )
+    )
+    assert df.exceptAll(orig).count() == 0
+    assert orig.exceptAll(df).count() == 0
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """The drained stream-stream interval join must equal its batch
+    twin exactly."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts").alias("p_ts"),
+        F.col("user_id").alias("p_user"),
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("c_ts"),
+        F.col("user_id").alias("c_user"),
+    )
+    batch = {
+        (r.purchase_id, r.click_id)
+        for r in p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+        ).collect()
+    }
+    streamed = {
+        (r.purchase_id, r.click_id)
+        for r in q2.q_stream_stream_join_run(spark, sf_dir).collect()
+    }
+    assert streamed == batch
