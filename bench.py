@@ -51,6 +51,21 @@ HEADLINE = [
 ]
 
 
+#: third-wave shapes timed SEPARATELY from the headline total (the
+#: headline set stays fixed so round-over-round totals compare):
+#: two-phase prefix sums, global shuffle, span dedup, iterative
+#: semantic dedup, DF-join rarity, outer-join distribution, blame agg.
+EXTRA = [
+    "pack_sequences",
+    "corpus_shuffle",
+    "span_dedup",
+    "semantic_dedup_keep",
+    "token_rarity",
+    "cust_order_distribution",
+    "late_supplier_blame",
+]
+
+
 #: the 5 most expensive headline queries get an sf1 spot-bench (10×
 #: sf0.1) to expose scaling curves the single-SF bench can't.
 SF1_QUERIES = [
@@ -205,6 +220,18 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
 
+    extra_timings: dict[str, float] = {}
+    if os.environ.get("SPARK_GRAFT_EXTRA", "1") != "0":
+        for name in EXTRA:
+            fn, _oracle = REGISTRY[name]
+            best = None
+            for _ in range(N_RUNS):
+                t0 = time.time()
+                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            extra_timings[name] = round(best, 3)
+
     # sf1 spot-bench: 10× derived scale-up for the 5 most expensive
     # queries — the scaling curve, not just the point measurement.
     # Disable with SPARK_GRAFT_SF1=0 for quick local iterations.
@@ -233,6 +260,9 @@ def main() -> None:
         "agg": "min",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if extra_timings:
+        out["extra_queries"] = extra_timings
+        out["extra_total"] = round(sum(extra_timings.values()), 3)
     if sf1_timings:
         # scale factor = sf1 time / sf0.1 time on 10× rows; ≤10 is
         # linear-or-better (fixed overheads amortize)

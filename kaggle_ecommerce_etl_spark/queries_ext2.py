@@ -523,6 +523,88 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+_SPAN_W = 8  # words per dedup span
+
+
+def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style duplicated-span removal: every document is cut into
+    non-overlapping 8-word spans; a span seen anywhere before
+    (global first occurrence = lexicographic min (doc_id, pos)) is
+    dropped from later documents, and each document is reconstructed
+    from its surviving spans in order. Two shuffles: one window over
+    the span text (first-occurrence rank), one groupBy(doc) for the
+    ordered reconstruction via sort_array — never collect_list order
+    luck. Spans partition by their text here (exact); at 100 TB the
+    window key would be a 128-bit span hash to shrink shuffle width —
+    same plan shape."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    spans = F.transform(
+        F.sequence(
+            F.lit(0), F.ceil(F.size(toks) / _SPAN_W).cast("int") - 1
+        ),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.array_join(
+                F.slice(toks, i * _SPAN_W + 1, _SPAN_W), " "
+            ).alias("span"),
+        ),
+    )
+    sp = d.select("doc_id", F.explode(spans).alias("s")).select(
+        "doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span")
+    )
+    w = Window.partitionBy("span").orderBy("doc_id", "pos")
+    ranked = sp.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("doc_id")
+        .agg(
+            F.coalesce(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.when(
+                                    F.col("rn") == 1,
+                                    F.struct(F.col("pos"), F.col("span")),
+                                )
+                            )
+                        ),
+                        lambda x: x["span"],
+                    ),
+                    " ",
+                ),
+                F.lit(""),
+            ).alias("text_dedup"),
+            F.sum((F.col("rn") == 1).cast("long")).alias("n_kept"),
+            F.sum((F.col("rn") > 1).cast("long")).alias("n_dropped"),
+        )
+    )
+
+
+ORACLE_SPAN_DEDUP = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents),
+sp0 AS (
+  SELECT doc_id,
+         [{{'pos': i,
+            'span': array_to_string(w[(i*{_SPAN_W}+1):(i*{_SPAN_W}+{_SPAN_W})], ' ')}}
+          for i in range(0, CAST(ceil(len(w) / {_SPAN_W}.0) AS BIGINT))] AS spans
+  FROM t),
+sp AS (SELECT doc_id, unnest(spans, recursive := true) FROM sp0),
+ranked AS (
+  SELECT doc_id, pos, span,
+         ROW_NUMBER() OVER (PARTITION BY span ORDER BY doc_id, pos) AS rn
+  FROM sp)
+SELECT doc_id,
+       COALESCE(string_agg(span, ' ' ORDER BY pos)
+                  FILTER (WHERE rn = 1), '') AS text_dedup,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS n_kept,
+       CAST(COUNT(*) FILTER (WHERE rn > 1) AS BIGINT) AS n_dropped
+FROM ranked GROUP BY doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # source/sink formats beyond CSV/parquet/JDBC: JSONL (the training-data
 # interchange format) and ORC
@@ -719,6 +801,7 @@ EXT2_REGISTRY = {
     "token_rarity": (q_token_rarity, ORACLE_TOKEN_RARITY),
     "semantic_dedup_keep": (q_semantic_dedup_keep, ORACLE_SEMANTIC_DEDUP),
     "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
+    "span_dedup": (q_span_dedup, ORACLE_SPAN_DEDUP),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
     "jsonl_quarantine": (q_jsonl_quarantine, ORACLE_JSONL_QUARANTINE),
     "orc_roundtrip": (q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP),

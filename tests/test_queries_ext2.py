@@ -129,6 +129,34 @@ def test_mix_rebalance_hits_quota(spark, sf_dir):
         assert got.get(lang, 0) <= counts[lang]
 
 
+def test_span_dedup_global_first_occurrence(spark, sf_dir):
+    """Each distinct span survives exactly once corpus-wide, span
+    counts are conserved per doc, and doc 0 (no predecessor) is
+    untouched."""
+    import math as _m
+
+    rows = q2.q_span_dedup(spark, sf_dir).collect()
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    total_kept = sum(r.n_kept for r in rows)
+    distinct_spans = set()
+    for text in docs.values():
+        w = text.strip().lower().split()
+        for i in range(_m.ceil(len(w) / q2._SPAN_W)):
+            distinct_spans.add(
+                " ".join(w[i * q2._SPAN_W : (i + 1) * q2._SPAN_W])
+            )
+    assert total_kept == len(distinct_spans)
+    for r in rows:
+        w = docs[r.doc_id].strip().lower().split()
+        assert r.n_kept + r.n_dropped == _m.ceil(len(w) / q2._SPAN_W)
+    first = next(r for r in rows if r.doc_id == min(docs))
+    assert first.n_dropped == 0
+    assert first.text_dedup == " ".join(docs[min(docs)].strip().lower().split())
+
+
 def test_jsonl_roundtrip_lossless(spark, sf_dir):
     back = q2.q_jsonl_roundtrip(spark, sf_dir)
     orig = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
