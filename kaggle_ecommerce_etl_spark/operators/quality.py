@@ -19,7 +19,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 __all__ = ["expect_not_null", "expect_unique", "expect_in_set",
-           "expect_range", "expect_ref", "validate"]
+           "expect_range", "expect_ref", "validate", "observed_write"]
+
+
+def observed_write(df: DataFrame, metrics: list, writer=None) -> dict:
+    """Zero-extra-pass profiling: attach named aggregate metrics to a
+    pass the job ALREADY makes (``Dataset.observe``) and run the write
+    — the audit numbers (row counts, null counts, control sums) come
+    back to the driver as task-metric side-channel, costing no second
+    scan. The reference's equivalent is a separate profiling read
+    before the load; at 100 TB the saved pass is the whole point.
+
+    ``metrics`` is a list of (name, aggregate Column); ``writer``
+    defaults to the noop sink (full computation, no output) and in
+    production is the real parquet/JDBC writer. Returns {name: value}
+    after the action completes."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    observed = df.observe(obs, *[c.alias(n) for n, c in metrics])
+    if writer is None:
+        def writer(d: DataFrame) -> None:
+            d.write.format("noop").mode("overwrite").save()
+    writer(observed)
+    return obs.get
 
 
 def expect_not_null(col: str) -> tuple[str, str, object]:

@@ -523,6 +523,40 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-flight audit metrics via ``Dataset.observe``
+    (operators/quality.observed_write): the write pass itself reports
+    row count, a conditional count, and an exact decimal control sum —
+    no second scan over the input. Executes the observed write inside
+    the query fn (like the streaming runs) and returns the metrics as
+    one row for the oracle, which restates them as a plain aggregate."""
+    from kaggle_ecommerce_etl_spark.operators.quality import observed_write
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    got = observed_write(
+        o,
+        [
+            ("n_rows", F.count(F.lit(1))),
+            ("n_hi", F.sum((F.col("o_totalprice") > 100000).cast("long"))),
+            ("sum_total", _dsum("o_totalprice")),
+        ],
+    )
+    return spark.createDataFrame(
+        [(got["n_rows"], got["n_hi"], float(got["sum_total"]))],
+        "n_rows long, n_hi long, sum_total double",
+    )
+
+
+ORACLE_OBSERVED_METRICS = """
+SELECT COUNT(*) AS n_rows,
+       CAST(SUM(CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_hi,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(23,8))), 2) AS DOUBLE)
+         AS sum_total
+FROM orders WHERE o_orderstatus = 'F'
+"""
+
+
 _SPAN_W = 8  # words per dedup span
 
 
@@ -802,6 +836,7 @@ EXT2_REGISTRY = {
     "semantic_dedup_keep": (q_semantic_dedup_keep, ORACLE_SEMANTIC_DEDUP),
     "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
     "span_dedup": (q_span_dedup, ORACLE_SPAN_DEDUP),
+    "observed_metrics": (q_observed_metrics, ORACLE_OBSERVED_METRICS),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
     "jsonl_quarantine": (q_jsonl_quarantine, ORACLE_JSONL_QUARANTINE),
     "orc_roundtrip": (q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP),

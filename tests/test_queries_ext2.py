@@ -129,6 +129,32 @@ def test_mix_rebalance_hits_quota(spark, sf_dir):
         assert got.get(lang, 0) <= counts[lang]
 
 
+def test_observed_write_metrics_match_direct_agg(spark, sf_dir):
+    """observe() side-channel values must equal a direct aggregation,
+    and the metrics must ride the caller's OWN write (writer invoked
+    exactly once with the observed frame)."""
+    from kaggle_ecommerce_etl_spark.operators.quality import observed_write
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    calls = []
+
+    def writer(d):
+        calls.append(d)
+        d.write.format("noop").mode("overwrite").save()
+
+    got = observed_write(
+        o,
+        [("n", F.count(F.lit(1))), ("mx", F.max("o_totalprice"))],
+        writer=writer,
+    )
+    assert len(calls) == 1
+    direct = o.agg(
+        F.count(F.lit(1)).alias("n"), F.max("o_totalprice").alias("mx")
+    ).first()
+    assert got["n"] == direct["n"]
+    assert got["mx"] == direct["mx"]
+
+
 def test_span_dedup_global_first_occurrence(spark, sf_dir):
     """Each distinct span survives exactly once corpus-wide, span
     counts are conserved per doc, and doc 0 (no predecessor) is
