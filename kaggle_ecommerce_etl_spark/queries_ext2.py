@@ -523,6 +523,140 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO semantics (SCD1: update matched, insert new) as a
+    full-outer coalesce — the reference's sink only knows DO-NOTHING
+    (pg.py:544-547); warehouses need the update path too. Target =
+    orders with even keys, batch = keys divisible by 3 with re-priced
+    totals; matched rows take the batch's values, unmatched keep their
+    side. ONE shuffle join on the key — no per-row driver logic."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
+    )
+    target = o.filter(F.col("o_orderkey") % 2 == 0)
+    batch = o.filter(F.col("o_orderkey") % 3 == 0).select(
+        "o_orderkey",
+        F.lit("M").alias("o_orderstatus"),
+        F.round(F.col("total") * 2, 2).alias("total"),
+    )
+    t = target.alias("t")
+    b = batch.alias("b")
+    return t.join(b, "o_orderkey", "full_outer").select(
+        "o_orderkey",
+        F.coalesce("b.o_orderstatus", "t.o_orderstatus").alias("o_orderstatus"),
+        F.coalesce("b.total", "t.total").alias("total"),
+    )
+
+
+ORACLE_MERGE_UPSERT = """
+WITH target AS (
+  SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+  FROM orders WHERE o_orderkey % 2 = 0),
+batch AS (
+  SELECT o_orderkey, 'M' AS o_orderstatus,
+         round(round(o_totalprice, 2) * 2, 2) AS total
+  FROM orders WHERE o_orderkey % 3 = 0)
+SELECT COALESCE(b.o_orderkey, t.o_orderkey) AS o_orderkey,
+       COALESCE(b.o_orderstatus, t.o_orderstatus) AS o_orderstatus,
+       COALESCE(b.total, t.total) AS total
+FROM target t FULL OUTER JOIN batch b USING (o_orderkey)
+"""
+
+
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC log application: an ordered stream of I/U/D operations per
+    key collapses to final table state — keep each key's LATEST op
+    (one window shuffle), then drop keys whose last op is a delete.
+    Ops are synthesized deterministically from the orders table
+    (seq = o_orderkey ordering within key % 1000 groups); the D case
+    is exercised (every 7th last-op is a delete)."""
+    o = _t(spark, sf_dir, "orders")
+    log = o.select(
+        (F.col("o_orderkey") % 1000).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 7 == 0, F.lit("D"))
+        .when(F.col("o_orderkey") % 3 == 0, F.lit("U"))
+        .otherwise(F.lit("I"))
+        .alias("op"),
+        F.round("o_totalprice", 2).alias("val"),
+    )
+    w = Window.partitionBy("key").orderBy(F.desc("seq"))
+    latest = log.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return latest.filter(F.col("op") != "D").select("key", "seq", "op", "val")
+
+
+ORACLE_CDC_APPLY = """
+WITH log AS (
+  SELECT o_orderkey % 1000 AS key, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 7 = 0 THEN 'D'
+              WHEN o_orderkey % 3 = 0 THEN 'U' ELSE 'I' END AS op,
+         round(o_totalprice, 2) AS val
+  FROM orders),
+latest AS (
+  SELECT key, seq, op, val,
+         ROW_NUMBER() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+  FROM log)
+SELECT key, seq, op, val FROM latest WHERE rn = 1 AND op <> 'D'
+"""
+
+
+def q_dedup_keep_richest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed dedup keeping the RICHEST row — survivorship by
+    completeness (most non-null fields), the master-data rule when
+    duplicate records carry different gaps. Synthesizes gaps
+    deterministically (key-derived NULLs), scores each row by its
+    non-null count as a pure expression, and one window picks
+    max(completeness, tiebreak seq). Same single-shuffle shape as
+    conflict_split."""
+    o = _t(spark, sf_dir, "orders")
+    rows = o.select(
+        (F.col("o_orderkey") % 500).alias("key"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderkey") % 4 == 0, F.lit(None)).otherwise(
+            F.col("o_orderstatus")
+        ).alias("status"),
+        F.when(F.col("o_orderkey") % 5 == 0, F.lit(None)).otherwise(
+            F.round("o_totalprice", 2)
+        ).alias("total"),
+    )
+    score = (
+        F.col("status").isNotNull().cast("int")
+        + F.col("total").isNotNull().cast("int")
+    )
+    w = Window.partitionBy("key").orderBy(
+        F.desc("score"), F.desc("seq")
+    )
+    return (
+        rows.withColumn("score", score)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("key", "seq", "status", "total", "score")
+    )
+
+
+ORACLE_DEDUP_RICHEST = """
+WITH rows_ AS (
+  SELECT o_orderkey % 500 AS key, o_orderkey AS seq,
+         CASE WHEN o_orderkey % 4 = 0 THEN NULL
+              ELSE o_orderstatus END AS status,
+         CASE WHEN o_orderkey % 5 = 0 THEN NULL
+              ELSE round(o_totalprice, 2) END AS total
+  FROM orders),
+scored AS (
+  SELECT key, seq, status, total,
+         CAST(status IS NOT NULL AS INT) + CAST(total IS NOT NULL AS INT)
+           AS score
+  FROM rows_),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                               ORDER BY score DESC, seq DESC) AS rn
+  FROM scored)
+SELECT key, seq, status, total, score FROM ranked WHERE rn = 1
+"""
+
+
 def q_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-flight audit metrics via ``Dataset.observe``
     (operators/quality.observed_write): the write pass itself reports
@@ -837,6 +971,9 @@ EXT2_REGISTRY = {
     "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
     "span_dedup": (q_span_dedup, ORACLE_SPAN_DEDUP),
     "observed_metrics": (q_observed_metrics, ORACLE_OBSERVED_METRICS),
+    "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
+    "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
+    "dedup_keep_richest": (q_dedup_keep_richest, ORACLE_DEDUP_RICHEST),
     "jsonl_roundtrip": (q_jsonl_roundtrip, ORACLE_JSONL_ROUNDTRIP),
     "jsonl_quarantine": (q_jsonl_quarantine, ORACLE_JSONL_QUARANTINE),
     "orc_roundtrip": (q_orc_roundtrip, ORACLE_ORC_ROUNDTRIP),

@@ -129,6 +129,50 @@ def test_mix_rebalance_hits_quota(spark, sf_dir):
         assert got.get(lang, 0) <= counts[lang]
 
 
+def test_merge_upsert_semantics(spark, sf_dir):
+    """Matched keys take the batch values; target-only and batch-only
+    keys survive with their own side's values."""
+    rows = {r.o_orderkey: r for r in q2.q_merge_upsert(spark, sf_dir).collect()}
+    o = {
+        r.o_orderkey: r
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    }
+    for k, r in rows.items():
+        if k % 3 == 0:  # batch side (matched or insert) wins
+            assert r.o_orderstatus == "M"
+            assert abs(r.total - round(round(o[k].o_totalprice, 2) * 2, 2)) < 1e-9
+        else:  # target-only rows keep their values
+            assert k % 2 == 0
+            assert r.o_orderstatus == o[k].o_orderstatus
+    keys = set(rows)
+    assert all(k % 2 == 0 or k % 3 == 0 for k in keys)
+
+
+def test_cdc_apply_deletes_dropped(spark, sf_dir):
+    rows = q2.q_cdc_apply(spark, sf_dir).collect()
+    assert rows
+    assert all(r.op in ("I", "U") for r in rows)
+    assert all(r.seq % 7 != 0 for r in rows)
+    assert len({r.key for r in rows}) == len(rows)
+
+
+def test_dedup_keep_richest_prefers_complete(spark, sf_dir):
+    rows = q2.q_dedup_keep_richest(spark, sf_dir).collect()
+    assert len({r.key for r in rows}) == len(rows)
+    # a survivor with a gap means NO fully-complete duplicate existed
+    from pyspark.sql import Row  # noqa: F401
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").collect()
+    by_key: dict = {}
+    for r in o:
+        by_key.setdefault(r.o_orderkey % 500, []).append(r.o_orderkey)
+    for r in rows:
+        if r.score < 2:
+            assert all(
+                k % 4 == 0 or k % 5 == 0 for k in by_key[r.key]
+            ), (r.key, by_key[r.key])
+
+
 def test_observed_write_metrics_match_direct_agg(spark, sf_dir):
     """observe() side-channel values must equal a direct aggregation,
     and the metrics must ride the caller's OWN write (writer invoked
