@@ -91,13 +91,35 @@ def quality_score_expr(col: Column) -> Column:
     """Bounded [0,1] quality heuristic:
     0.4·min(tokens/100,1) + 0.3·(1-punct_ratio) + 0.3·min(stop_ratio·5,1)
     — rewards length, low punctuation noise, natural-language stopword
-    density. Rounded to 4 decimals for cross-engine determinism."""
-    length_term = F.least(token_count_expr(col).cast("double") / F.lit(100.0), F.lit(1.0))
-    punct_term = F.lit(1.0) - punct_ratio_expr(col)
-    stop_term = F.least(stopword_ratio_expr(col) * F.lit(5.0), F.lit(1.0))
-    return F.round(
-        F.lit(0.4) * length_term + F.lit(0.3) * punct_term + F.lit(0.3) * stop_term, 4
+    density. Rounded (half-up) to 4 decimals.
+
+    Computed as an EXACT integer rational, not in doubles: every input
+    is an integer (token count n, text length L, punct chars p,
+    stopword hits s), so the score is num/den with
+      num = 4·min(n,100)·L₁·n₁ + 300·n₁·(L₁−p) + 300·L₁·min(5s, n₁)
+      den = 1000·L₁·n₁            (L₁ = max(L,1), n₁ = max(n,1))
+    and the 4-decimal half-up rounding is integer floor-div + remainder
+    compare. A double formulation diverged from the DuckDB oracle by
+    1 ULP at a .00005 boundary on one sf0.1 row (r4 scale probe);
+    integer arithmetic makes the value engine-independent at any SF."""
+    n = token_count_expr(col)
+    l1 = F.greatest(F.length(col), F.lit(1)).cast("long")
+    n1 = F.greatest(n, F.lit(1))
+    p = F.length(F.regexp_replace(col, PUNCT_CLASS, "")).cast("long")
+    sh = _stopword_hits(col, STOPWORDS["en"])
+    num = (
+        F.lit(4) * F.least(n, F.lit(100)) * l1 * n1
+        + F.lit(300) * n1 * (l1 - p)
+        + F.lit(300) * l1 * F.least(F.lit(5) * sh, n1)
     )
+    den = F.lit(1000) * l1 * n1
+    a = num * F.lit(10000)
+    r = F.pmod(a, den)
+    # (a - r) / b divides exactly; IEEE division of exact multiples is
+    # exact, so the floor quotient is integer-precise
+    k = ((a - r) / den).cast("long")
+    v = k + (r * 2 >= den).cast("long")
+    return v.cast("double") / F.lit(10000.0)
 
 
 def fingerprint_expr(col: Column) -> Column:

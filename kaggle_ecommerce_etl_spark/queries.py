@@ -630,8 +630,13 @@ def q_events_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_SESSIONIZE = """
 WITH marks AS (
   SELECT user_id, ts,
+         -- interval comparison, NOT date_diff('second', ...):
+         -- date_diff counts second-BOUNDARY crossings, so a 1799.2 s
+         -- gap between sub-second timestamps can read as 1800 and
+         -- split a session Spark's session_window (exact-microsecond
+         -- comparison) merges — bit at sf0.1 in the r4 scale probe
          CASE WHEN lag(ts) OVER w IS NULL
-                OR date_diff('second', lag(ts) OVER w, ts) >= 1800
+                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
               THEN 1 ELSE 0 END AS new_session
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts)
@@ -768,21 +773,31 @@ def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_QUALITY = f"""
 WITH base AS (
-  SELECT doc_id, text,
+  SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tok,
-         CAST(length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS DOUBLE)
-           / greatest(length(text), 1) AS punct_ratio,
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+         greatest(length(text), 1) AS l1,
+         length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS p,
          len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'),
-                         x -> list_contains({_sw_list('en')}, x))) AS stop_hits
+                         x -> list_contains({_sw_list('en')}, x))) AS sh
   FROM documents
+),
+-- exact integer rational (mirrors quality_score_expr): num/den, then
+-- half-up round to 4 decimals via floor-div + remainder compare —
+-- no doubles until the final /10000.0
+frac AS (
+  SELECT doc_id,
+         4 * least(n, 100) * l1 * greatest(n, 1)
+           + 300 * greatest(n, 1) * (l1 - p)
+           + 300 * l1 * least(5 * sh, greatest(n, 1)) AS num,
+         1000 * l1 * greatest(n, 1) AS den
+  FROM base
 )
 SELECT doc_id,
-       round(0.4 * least(CAST(n_tok AS DOUBLE) / 100.0, 1.0)
-           + 0.3 * (1.0 - punct_ratio)
-           + 0.3 * least(CAST(stop_hits AS DOUBLE) / greatest(n_tok, 1) * 5.0, 1.0),
-         4) AS quality
-FROM base
+       ((num * 10000) // den
+        + CASE WHEN 2 * ((num * 10000) % den) >= den THEN 1 ELSE 0 END)
+         / 10000.0 AS quality
+FROM frac
 """
 
 
@@ -1189,8 +1204,11 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         block_col="source",
         threshold=0.8,
         use_shingles=False,
-        # scale guard: prunes stopword-frequency tokens from the index
-        # (inert at sf0.01 where max per-block DF is 24 — oracle exact)
+        # scale guard: prunes stopword-frequency tokens from the index.
+        # The oracle encodes the SAME cap (QUALIFY df <= 100 +
+        # recomputed set sizes), so the pair stays exact at every SF —
+        # at sf0.1 the cap is genuinely active (an uncapped oracle
+        # diverged 1509 vs 147839 pairs in the r4 scale probe).
         max_df=100,
     )
 
@@ -1199,14 +1217,19 @@ ORACLE_WORD_JACCARD = """
 WITH base AS (SELECT doc_id, source,
                      list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
               FROM documents),
-e AS (SELECT doc_id, source, len(toks) AS sz, unnest(toks) AS tok FROM base),
-j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2,
-             count(*) AS inter
-      FROM e a JOIN e b ON a.tok = b.tok AND a.source = b.source
-                        AND a.doc_id < b.doc_id
-      GROUP BY 1, 2, 3, 4)
+e0 AS (SELECT doc_id, source, unnest(toks) AS tok FROM base),
+kept AS (SELECT doc_id, source, tok FROM e0
+         QUALIFY count(*) OVER (PARTITION BY source, tok) <= 100),
+sz AS (SELECT doc_id, count(*) AS sz FROM kept GROUP BY 1),
+j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS inter
+      FROM kept a JOIN kept b ON a.tok = b.tok AND a.source = b.source
+                             AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
+v AS (SELECT id1, id2, inter, s1.sz AS s1, s2.sz AS s2
+      FROM j JOIN sz s1 ON j.id1 = s1.doc_id
+             JOIN sz s2 ON j.id2 = s2.doc_id)
 SELECT id1, id2, round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) AS jaccard
-FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.8
+FROM v WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.8
 """
 
 

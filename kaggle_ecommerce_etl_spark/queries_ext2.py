@@ -523,6 +523,145 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The training-corpus pipeline END-TO-END in one plan: quality
+    gate (>= 20 tokens) → exact dedup (min doc per normalized-text
+    fingerprint) → near-dup removal (minhash → LSH bands → connected
+    components; only each cluster's canonical doc survives) → seeded
+    deterministic shuffle → 2048-token sequence packing. Every stage
+    is the already-verified operator; this entry proves they COMPOSE —
+    one oracle restates the whole chain (recursive-CTE closure
+    included). The shuffle/pack positions use the scalable two-phase
+    pattern with ONE shared per-bucket aggregate carrying both the
+    row-count and token-sum offsets."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        dup_clusters,
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from kaggle_ecommerce_etl_spark.functions.text import fingerprint_expr
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    base = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        fingerprint_expr(F.col("text")).alias("fp"),
+    )
+    kept1 = base.filter(F.col("n_tokens") >= 20)
+    wfp = Window.partitionBy("fp").orderBy("doc_id")
+    kept2 = (
+        kept1.withColumn("rn", F.row_number().over(wfp))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "n_tokens")
+    )
+    labels = dup_clusters(lsh_candidate_pairs(minhash_signatures(docs)))
+    kept3 = (
+        kept2.join(labels, kept2.doc_id == labels.id, "left")
+        .filter(
+            F.coalesce("cluster", kept2.doc_id) == kept2.doc_id
+        )
+        .select(kept2.doc_id, "n_tokens")
+    )
+    keyed = kept3.withColumn(
+        "shuf_key",
+        F.md5(
+            F.concat(F.lit("pipe42:"), F.col("doc_id").cast("string")).cast(
+                "binary"
+            )
+        ),
+    ).withColumn("bkt", F.substring("shuf_key", 1, 2))
+    off_w = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("bkt")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("n_tokens").alias("btoks"),
+        )
+        .withColumn("pos_off", F.coalesce(F.sum("n").over(off_w), F.lit(0)))
+        .withColumn(
+            "tok_off", F.coalesce(F.sum("btoks").over(off_w), F.lit(0))
+        )
+        .select("bkt", "pos_off", "tok_off")
+    )
+    w_in = Window.partitionBy("bkt").orderBy("shuf_key", "doc_id")
+    return (
+        keyed.join(F.broadcast(offsets), "bkt")
+        .withColumn("pos", F.col("pos_off") + F.row_number().over(w_in))
+        .withColumn(
+            "run",
+            F.col("tok_off")
+            + F.coalesce(
+                F.sum("n_tokens").over(
+                    w_in.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "pos",
+            F.floor(F.col("run") / _PACK_CAPACITY).cast("long").alias("bin_id"),
+        )
+    )
+
+
+def _oracle_corpus_pipeline() -> str:
+    from kaggle_ecommerce_etl_spark.queries import (
+        _SHINGLE_SQL,
+        _band_sql,
+        _mh_sql,
+    )
+
+    shingle = _SHINGLE_SQL.replace("WITH t AS", "WITH RECURSIVE t AS", 1)
+    cand_union = " UNION ".join(
+        f"SELECT a.doc_id AS id1, b.doc_id AS id2 FROM bands a "
+        f"JOIN bands b ON a.band{b} = b.band{b} AND a.doc_id < b.doc_id"
+        for b in range(4)
+    )
+    return (
+        shingle
+        + ", sigs AS (SELECT doc_id, "
+        + ", ".join(_mh_sql(i) for i in range(8))
+        + " FROM s), bands AS (SELECT doc_id, "
+        + ", ".join(_band_sql(b) for b in range(4))
+        + " FROM sigs), cand AS ("
+        + cand_union
+        + f"""),
+edges AS (SELECT id1 AS src, id2 AS dst FROM cand
+          UNION SELECT id2, id1 FROM cand),
+reach(id, r) AS (
+  SELECT src, src FROM (SELECT DISTINCT src FROM edges)
+  UNION
+  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
+base AS (SELECT doc_id,
+                len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
+                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+         FROM documents),
+kept1 AS (SELECT * FROM base WHERE n_tokens >= 20),
+kept2 AS (SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+            FROM kept1) WHERE rn = 1),
+kept3 AS (SELECT k.doc_id, k.n_tokens
+          FROM kept2 k LEFT JOIN cc ON k.doc_id = cc.id
+          WHERE COALESCE(cc.cluster_id, k.doc_id) = k.doc_id),
+ordered AS (SELECT doc_id, n_tokens,
+                   ROW_NUMBER() OVER w AS pos,
+                   COALESCE(SUM(n_tokens) OVER (w ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND 1 PRECEDING), 0) AS run
+            FROM kept3
+            WINDOW w AS (ORDER BY md5('pipe42:' || CAST(doc_id AS VARCHAR)),
+                         doc_id))
+SELECT doc_id, n_tokens, pos,
+       CAST(floor(run / {_PACK_CAPACITY}) AS BIGINT) AS bin_id
+FROM ordered
+"""
+    )
+
+
 def q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MERGE INTO semantics (SCD1: update matched, insert new) as a
     full-outer coalesce — the reference's sink only knows DO-NOTHING
@@ -971,6 +1110,7 @@ EXT2_REGISTRY = {
     "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
     "span_dedup": (q_span_dedup, ORACLE_SPAN_DEDUP),
     "observed_metrics": (q_observed_metrics, ORACLE_OBSERVED_METRICS),
+    "corpus_pipeline": (q_corpus_pipeline, _oracle_corpus_pipeline()),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
     "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
     "dedup_keep_richest": (q_dedup_keep_richest, ORACLE_DEDUP_RICHEST),
