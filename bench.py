@@ -58,6 +58,7 @@ HEADLINE = [
 EXTRA = [
     "pack_sequences",
     "corpus_shuffle",
+    "corpus_pipeline",
     "span_dedup",
     "semantic_dedup_keep",
     "token_rarity",

@@ -1559,9 +1559,12 @@ DRIVER_WINDOW = (
     "hierarchy_rollup", "resample_gapfill", "schema_drift_merge",
     "streaming_upsert_run", "streaming_window_run",
     "asof_join_forward", "rollup_sales", "pii_scrub",
-    # third-wave families (new this round, no green sibling)
+    # third-wave families (new this round, no green sibling);
+    # corpus_pipeline composes shuffle+pack+dedup end-to-end, so it
+    # takes the slot over the standalone corpus_shuffle (locally
+    # verified, rotates r5)
     "stream_stream_join_run", "semantic_dedup_keep", "jsonl_roundtrip",
-    "pack_sequences", "corpus_shuffle",
+    "pack_sequences", "corpus_pipeline",
 )
 
 

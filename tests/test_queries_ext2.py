@@ -129,6 +129,24 @@ def test_mix_rebalance_hits_quota(spark, sf_dir):
         assert got.get(lang, 0) <= counts[lang]
 
 
+def test_corpus_pipeline_invariants(spark, sf_dir):
+    """Survivors ⊆ corpus; pos is a dense permutation of the
+    survivors; bins are monotone in pos; every stage actually prunes
+    or passes through consistently."""
+    rows = q2.q_corpus_pipeline(spark, sf_dir).collect()
+    assert rows
+    n = len(rows)
+    assert sorted(r.pos for r in rows) == list(range(1, n + 1))
+    by_pos = sorted(rows, key=lambda r: r.pos)
+    run = 0
+    for r in by_pos:
+        assert r.bin_id == run // q2._PACK_CAPACITY
+        run += r.n_tokens
+    assert all(r.n_tokens >= 20 for r in rows)
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert n <= n_docs
+
+
 def test_merge_upsert_semantics(spark, sf_dir):
     """Matched keys take the batch values; target-only and batch-only
     keys survive with their own side's values."""
