@@ -523,6 +523,146 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window feature engineering (the feature-store staple):
+    per customer over order history — previous total (lag), 3-order
+    trailing mean (bounded ROWS frame), trailing max, and the delta
+    vs the previous order. ONE window spec / one shuffle on the
+    customer key serves all four features; the bounded frame keeps
+    per-row state O(frame), not O(history). Trailing mean divides the
+    exact decimal sum by the frame row count so the oracle matches
+    bit-for-bit."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 10 == 0)
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    frame = w.rowsBetween(-2, 0)
+    total = F.round("o_totalprice", 2)
+    prev = F.lag(total).over(w)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        total.alias("total"),
+        F.round(prev, 2).alias("prev_total"),
+        F.round(
+            F.sum(total.cast("decimal(23,8)")).over(frame).cast("double")
+            / F.count(F.lit(1)).over(frame),
+            4,
+        ).alias("trailing_mean3"),
+        F.round(F.max(total).over(frame), 2).alias("trailing_max3"),
+        F.round(total - prev, 2).alias("delta"),
+    )
+
+
+ORACLE_ROLLING_FEATURES = """
+SELECT o_custkey, o_orderkey,
+       round(o_totalprice, 2) AS total,
+       round(lag(round(o_totalprice, 2)) OVER w, 2) AS prev_total,
+       round(CAST(SUM(CAST(round(o_totalprice, 2) AS DECIMAL(23,8)))
+                    OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+                  AS DOUBLE)
+             / COUNT(*) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             4) AS trailing_mean3,
+       round(MAX(round(o_totalprice, 2))
+               OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+             2) AS trailing_max3,
+       round(round(o_totalprice, 2) - lag(round(o_totalprice, 2)) OVER w, 2)
+         AS delta
+FROM orders WHERE o_custkey % 10 = 0
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+def q_interpolate_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series LINEAR INTERPOLATION across gaps — the step beyond
+    resample_gapfill's zero-fill: per user, hourly event counts on the
+    [first, last] observed-hour spine, with missing hours interpolated
+    between the nearest observed neighbors. Neighbor discovery is two
+    window passes with IGNORE NULLS (backward last / forward first) —
+    no self-join, one shuffle on the user key (the spine explode is
+    shuffle-free). The interpolated value rounds half-up via INTEGER
+    floor-div + remainder (counts are integers), so the oracle matches
+    exactly at any scale — no doubles anywhere."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    obs = ev.groupBy(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    spine = (
+        obs.groupBy("user_id")
+        .agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(
+                F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))
+            ).alias("h"),
+        )
+    )
+    g = spine.join(obs, ["user_id", "h"], "left")
+    # epoch-hour ordinal keeps the arithmetic integral
+    hh = (F.unix_timestamp("h") / 3600).cast("long")
+    pt = F.when(F.col("c").isNotNull(), F.struct(hh.alias("hh"), F.col("c")))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("h")
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    g = (
+        g.withColumn("hh", hh)
+        .withColumn("prev", F.last(pt, ignorenulls=True).over(wb))
+        .withColumn("nxt", F.first(pt, ignorenulls=True).over(wf))
+    )
+    span = F.col("nxt.hh") - F.col("prev.hh")
+    num = F.col("prev.c") * (F.col("nxt.hh") - F.col("hh")) + F.col(
+        "nxt.c"
+    ) * (F.col("hh") - F.col("prev.hh"))
+    r = F.pmod(num, span)
+    lerp = ((num - r) / span).cast("long") + (r * 2 >= span).cast("long")
+    return g.select(
+        "user_id",
+        F.col("h").alias("hour"),
+        F.coalesce("c", lerp).alias("n_events"),
+        F.col("c").isNull().alias("interpolated"),
+    )
+
+
+ORACLE_INTERPOLATE_TS = """
+WITH obs AS (
+  SELECT user_id, date_trunc('hour', ts) AS h, COUNT(*) AS c
+  FROM events WHERE user_id % 20 = 0 GROUP BY 1, 2),
+spine AS (
+  SELECT user_id, unnest(generate_series(min(h), max(h),
+                                         INTERVAL 1 HOUR)) AS h
+  FROM obs GROUP BY user_id),
+g AS (
+  SELECT s.user_id, s.h, o.c,
+         CAST(epoch(s.h) / 3600 AS BIGINT) AS hh
+  FROM spine s LEFT JOIN obs o ON s.user_id = o.user_id AND s.h = o.h),
+n AS (
+  SELECT user_id, h, c, hh,
+         last_value(CASE WHEN c IS NOT NULL
+                         THEN {'hh': hh, 'c': c} END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev,
+         first_value(CASE WHEN c IS NOT NULL
+                          THEN {'hh': hh, 'c': c} END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY h
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt
+  FROM g)
+SELECT user_id, h AS hour,
+       COALESCE(c,
+         (prev.c * (nxt.hh - hh) + nxt.c * (hh - prev.hh))
+           // (nxt.hh - prev.hh)
+         + CASE WHEN 2 * ((prev.c * (nxt.hh - hh) + nxt.c * (hh - prev.hh))
+                          % (nxt.hh - prev.hh)) >= (nxt.hh - prev.hh)
+                THEN 1 ELSE 0 END) AS n_events,
+       c IS NULL AS interpolated
+FROM n
+"""
+
+
 def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The training-corpus pipeline END-TO-END in one plan: quality
     gate (>= 20 tokens) → exact dedup (min doc per normalized-text
@@ -1111,6 +1251,8 @@ EXT2_REGISTRY = {
     "span_dedup": (q_span_dedup, ORACLE_SPAN_DEDUP),
     "observed_metrics": (q_observed_metrics, ORACLE_OBSERVED_METRICS),
     "corpus_pipeline": (q_corpus_pipeline, _oracle_corpus_pipeline()),
+    "rolling_features": (q_rolling_features, ORACLE_ROLLING_FEATURES),
+    "interpolate_ts": (q_interpolate_ts, ORACLE_INTERPOLATE_TS),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
     "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
     "dedup_keep_richest": (q_dedup_keep_richest, ORACLE_DEDUP_RICHEST),

@@ -129,6 +129,50 @@ def test_mix_rebalance_hits_quota(spark, sf_dir):
         assert got.get(lang, 0) <= counts[lang]
 
 
+def test_rolling_features_frame_semantics(spark, sf_dir):
+    """Trailing stats must equal a per-partition replay of the frame."""
+    rows = q2.q_rolling_features(spark, sf_dir).collect()
+    by_cust: dict = {}
+    for r in rows:
+        by_cust.setdefault(r.o_custkey, []).append(r)
+    for cust, rs in by_cust.items():
+        # reconstruct window order from prev_total chaining: first row
+        # has prev_total NULL exactly once per customer
+        assert sum(1 for r in rs if r.prev_total is None) == 1
+        for r in rs:
+            assert r.trailing_max3 >= r.total or abs(
+                r.trailing_max3 - r.total
+            ) < 1e-9
+            if r.prev_total is not None:
+                assert abs(r.delta - round(r.total - r.prev_total, 2)) < 1e-9
+
+
+def test_interpolate_ts_observed_passthrough(spark, sf_dir):
+    """Observed hours pass through untouched; interpolated values lie
+    between (inclusive) their neighbors; the spine is dense."""
+    rows = q2.q_interpolate_ts(spark, sf_dir).collect()
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, rs in by_user.items():
+        rs.sort(key=lambda r: r.hour)
+        hours = [r.hour for r in rs]
+        assert len(hours) == len(set(hours))
+        for a, b in zip(hours, hours[1:]):
+            assert (b - a).total_seconds() == 3600
+        obs = [r for r in rs if not r.interpolated]
+        assert obs and not rs[0].interpolated and not rs[-1].interpolated
+        for i, r in enumerate(rs):
+            if r.interpolated:
+                prev = [x for x in rs[:i] if not x.interpolated][-1]
+                nxt = [x for x in rs[i + 1:] if not x.interpolated][0]
+                assert (
+                    min(prev.n_events, nxt.n_events)
+                    <= r.n_events
+                    <= max(prev.n_events, nxt.n_events)
+                )
+
+
 def test_corpus_pipeline_invariants(spark, sf_dir):
     """Survivors ⊆ corpus; pos is a dense permutation of the
     survivors; bins are monotone in pos; every stage actually prunes
