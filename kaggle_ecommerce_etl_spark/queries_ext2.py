@@ -523,6 +523,39 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured analytics through the engine's VARIANT type
+    (Spark 4 ``parse_json``/``try_variant_get``): the events props
+    column is parsed ONCE into a binary variant and fields are
+    extracted by path with typed gets — the open-schema ingestion
+    model (no fixed struct schema declared up front, unlike
+    from_json). At scale the variant parse is a pure expression riding
+    the scan; the aggregate is one shuffle over |event_type| groups."""
+    ev = _t(spark, sf_dir, "events")
+    v = ev.select("event_type", F.parse_json(F.col("props")).alias("v"))
+    k = F.try_variant_get(F.col("v"), "$.k", "bigint")
+    return (
+        v.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(k).alias("sum_k"),
+            F.min(k).alias("min_k"),
+            F.max(k).alias("max_k"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_VARIANT_SHRED = """
+SELECT event_type, COUNT(*) AS n,
+       CAST(SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+         AS sum_k,
+       MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
 def q_rolling_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-window feature engineering (the feature-store staple):
     per customer over order history — previous total (lag), 3-order
@@ -1253,6 +1286,7 @@ EXT2_REGISTRY = {
     "corpus_pipeline": (q_corpus_pipeline, _oracle_corpus_pipeline()),
     "rolling_features": (q_rolling_features, ORACLE_ROLLING_FEATURES),
     "interpolate_ts": (q_interpolate_ts, ORACLE_INTERPOLATE_TS),
+    "variant_shred": (q_variant_shred, ORACLE_VARIANT_SHRED),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
     "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
     "dedup_keep_richest": (q_dedup_keep_richest, ORACLE_DEDUP_RICHEST),
