@@ -100,3 +100,58 @@ def test_conflict_split_partition_property(spark, rows):
     fkeys = {k for k, _ in f}
     assert len(set(ckeys)) == len(ckeys)
     assert not (set(ckeys) & fkeys)
+
+
+_words = st.lists(
+    st.sampled_from(
+        ["the", "and", "data", "spark", "merge", "x1", "9", "a", "row.", "b,c"]
+    ),
+    min_size=0,
+    max_size=120,
+)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(_words, min_size=1, max_size=40))
+def test_quality_score_matches_exact_fraction_reference(spark, docs):
+    """quality_score_expr's integer-rational half-up computation must
+    equal an independent exact-arithmetic reference (fractions.Fraction)
+    for arbitrary texts — the property that makes the score
+    engine-independent at any scale."""
+    import re
+    from fractions import Fraction
+
+    from kaggle_ecommerce_etl_spark.functions.text import (
+        STOPWORDS,
+        quality_score_expr,
+    )
+
+    texts = [" ".join(ws) for ws in docs]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: r.q
+        for r in df.select(
+            "id", quality_score_expr(F.col("text")).alias("q")
+        ).collect()
+    }
+
+    sw = set(STOPWORDS["en"])
+    for i, t in enumerate(texts):
+        trimmed = t.strip()
+        n = 0 if trimmed == "" else len(re.split(r"\s+", trimmed))
+        l1 = max(len(t), 1)
+        n1 = max(n, 1)
+        p = sum(1 for ch in t if ch in ".!?,;:")
+        toks = re.split(r"[^a-z]+", trimmed.lower())
+        sh = sum(1 for x in toks if x in sw)
+        num = (
+            4 * min(n, 100) * l1 * n1
+            + 300 * n1 * (l1 - p)
+            + 300 * l1 * min(5 * sh, n1)
+        )
+        den = 1000 * l1 * n1
+        scaled = Fraction(num * 10000, den)
+        v = int(scaled) + (1 if (scaled - int(scaled)) * 2 >= 1 else 0)
+        assert got[i] == v / 10000.0, (i, t, got[i], v)
