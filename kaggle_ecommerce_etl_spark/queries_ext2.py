@@ -523,6 +523,50 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
+    DUPLICATE CARDINALITY, unlike the distinct variants already on the
+    surface (set_ops_customers): per-status order-priority bags from
+    two halves of orders, intersected and differenced with
+    multiplicity, then counted. Spark plans these as hash aggregations
+    over (row, count) — one shuffle each, no distinct collapse."""
+    o = _t(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority")
+    left = o.filter(F.col("o_orderstatus") != "P").drop("o_orderstatus")
+    right = o.filter(F.col("o_orderstatus") != "O").drop("o_orderstatus")
+    inter = left.intersectAll(right).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_intersect_all")
+    )
+    diff = left.exceptAll(right).groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_except_all")
+    )
+    return (
+        inter.join(diff, "o_orderpriority", "full_outer")
+        .select(
+            "o_orderpriority",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_SET_OPS_MULTISET = """
+WITH l AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus <> 'P'),
+r AS (SELECT o_orderpriority FROM orders WHERE o_orderstatus <> 'O'),
+i AS (SELECT o_orderpriority, COUNT(*) AS n_intersect_all
+      FROM (SELECT * FROM l INTERSECT ALL SELECT * FROM r)
+      GROUP BY 1),
+d AS (SELECT o_orderpriority, COUNT(*) AS n_except_all
+      FROM (SELECT * FROM l EXCEPT ALL SELECT * FROM r)
+      GROUP BY 1)
+SELECT COALESCE(i.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+       COALESCE(n_intersect_all, 0) AS n_intersect_all,
+       COALESCE(n_except_all, 0) AS n_except_all
+FROM i FULL OUTER JOIN d ON i.o_orderpriority = d.o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 def q_variant_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured analytics through the engine's VARIANT type
     (Spark 4 ``parse_json``/``try_variant_get``): the events props
@@ -1287,6 +1331,7 @@ EXT2_REGISTRY = {
     "rolling_features": (q_rolling_features, ORACLE_ROLLING_FEATURES),
     "interpolate_ts": (q_interpolate_ts, ORACLE_INTERPOLATE_TS),
     "variant_shred": (q_variant_shred, ORACLE_VARIANT_SHRED),
+    "set_ops_multiset": (q_set_ops_multiset, ORACLE_SET_OPS_MULTISET),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
     "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
     "dedup_keep_richest": (q_dedup_keep_richest, ORACLE_DEDUP_RICHEST),
