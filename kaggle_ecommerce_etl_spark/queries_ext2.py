@@ -523,6 +523,62 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window (value-based, not row-based — the frame mode
+    the surface lacked): per customer, each order's trailing-30-DAY
+    revenue and order count. Ordering by an integer day ordinal keeps
+    the frame arithmetic exact and engine-portable (interval RANGE
+    frames differ subtly across engines; epoch-day longs do not). One
+    shuffle on the customer key; frame state is bounded by the window
+    span, not history."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 25 == 0)
+    day = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date"))
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day")
+        .rangeBetween(-29, 0)
+    )
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            day.alias("day"),
+            F.col("o_totalprice").alias("total"),
+        )
+        .withColumn(
+            "trail30_revenue",
+            F.round(
+                F.sum(F.col("total").cast("decimal(23,8)")).over(w), 2
+            ).cast("double"),
+        )
+        .withColumn("trail30_orders", F.count(F.lit(1)).over(w))
+        .select(
+            "o_custkey", "o_orderkey", "day",
+            F.round("total", 2).alias("total"),
+            "trail30_revenue", "trail30_orders",
+        )
+    )
+
+
+ORACLE_RANGE_FRAME = """
+WITH o AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+           AS day,
+         o_totalprice AS total
+  FROM orders WHERE o_custkey % 25 = 0)
+SELECT o_custkey, o_orderkey, day, round(total, 2) AS total,
+       CAST(round(SUM(CAST(total AS DECIMAL(23,8)))
+                    OVER (PARTITION BY o_custkey ORDER BY day
+                          RANGE BETWEEN 29 PRECEDING AND CURRENT ROW),
+                  2) AS DOUBLE) AS trail30_revenue,
+       COUNT(*) OVER (PARTITION BY o_custkey ORDER BY day
+                      RANGE BETWEEN 29 PRECEDING AND CURRENT ROW)
+         AS trail30_orders
+FROM o
+"""
+
+
 def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
     DUPLICATE CARDINALITY, unlike the distinct variants already on the
@@ -1332,6 +1388,7 @@ EXT2_REGISTRY = {
     "interpolate_ts": (q_interpolate_ts, ORACLE_INTERPOLATE_TS),
     "variant_shred": (q_variant_shred, ORACLE_VARIANT_SHRED),
     "set_ops_multiset": (q_set_ops_multiset, ORACLE_SET_OPS_MULTISET),
+    "range_frame_window": (q_range_frame_window, ORACLE_RANGE_FRAME),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
     "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
     "dedup_keep_richest": (q_dedup_keep_richest, ORACLE_DEDUP_RICHEST),
