@@ -523,6 +523,44 @@ SELECT doc_id, lang FROM r JOIN quota USING (lang) WHERE rk <= q
 """
 
 
+def q_multimodal_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact media dedup on binary content (functions.multimodal.
+    dedup_by_content, previously pytest-only): documents are remapped
+    onto 250 payload blobs (doc_id mod 250 → genuine duplicates), and
+    dedup groups by the sha256 CONTENT hash — a metadata-only plan:
+    the blob itself never shuffles, only its digest and byte length.
+    At 100 TB that difference (32-byte hash vs multi-MB payload per
+    shuffle row) is the whole design."""
+    from kaggle_ecommerce_etl_spark.functions.multimodal import (
+        dedup_by_content,
+        wrap_as_media,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    pay = docs.filter(F.col("doc_id") < 250).select(
+        F.col("doc_id").alias("pid"), F.col("text").alias("payload")
+    )
+    joined = docs.select(
+        "doc_id", (F.col("doc_id") % 250).alias("pid")
+    ).join(F.broadcast(pay), "pid")
+    media = wrap_as_media(joined, "doc_id", "payload", "text/plain")
+    return dedup_by_content(media)
+
+
+ORACLE_MULTIMODAL_DEDUP = """
+WITH pay AS (SELECT doc_id AS pid, text AS payload
+             FROM documents WHERE doc_id < 250),
+j AS (SELECT d.doc_id, p.payload
+      FROM documents d JOIN pay p ON d.doc_id % 250 = p.pid),
+m AS (SELECT doc_id AS media_id, sha256(payload) AS sha,
+             octet_length(CAST(payload AS BLOB)) AS n_bytes
+      FROM j)
+SELECT sha, MIN(media_id) AS media_id, COUNT(*) AS n_copies,
+       'text/plain' AS mime, MIN(n_bytes) AS n_bytes
+FROM m GROUP BY sha
+"""
+
+
 def q_range_frame_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RANGE-frame window (value-based, not row-based — the frame mode
     the surface lacked): per customer, each order's trailing-30-DAY
@@ -1389,6 +1427,7 @@ EXT2_REGISTRY = {
     "variant_shred": (q_variant_shred, ORACLE_VARIANT_SHRED),
     "set_ops_multiset": (q_set_ops_multiset, ORACLE_SET_OPS_MULTISET),
     "range_frame_window": (q_range_frame_window, ORACLE_RANGE_FRAME),
+    "multimodal_dedup": (q_multimodal_dedup, ORACLE_MULTIMODAL_DEDUP),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
     "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
     "dedup_keep_richest": (q_dedup_keep_richest, ORACLE_DEDUP_RICHEST),
