@@ -1326,6 +1326,123 @@ FROM orders WHERE o_orderstatus = 'O'
 """
 
 
+def q_medallion_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE architecture (S3 landing → clean → DB,
+    README:27-44) as a medallion STREAMING chain, two hops drained
+    end-to-end: raw CSV files land (one carries a cross-batch
+    re-delivery — the duplicate-Lambda failure) → BRONZE ingests via a
+    schema-explicit CSV file stream into parquet → SILVER streams
+    bronze through foreachBatch + upsert_anti_join (idempotent keyed
+    dedup) → GOLD is the per-type aggregate over silver. The landing
+    fixture is cached; bronze/silver/checkpoints are per-call temp
+    dirs so every invocation replays the full chain deterministically.
+    Oracle = the same aggregate over the distinct event set."""
+    import hashlib as _hl
+    import os
+    import shutil
+    import tempfile
+
+    from kaggle_ecommerce_etl_spark.operators.dedup import upsert_anti_join
+
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("user_id") % 10 == 0
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+    )
+    st = os.stat(f"{sf_dir}/events.parquet")
+    tag = _hl.md5(
+        f"med:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    landing = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage, exist_ok=True)
+        batches = (
+            ("a", ev.filter(F.col("event_id") % 2 == 0)),
+            # batch b re-delivers every event_id % 4 == 0 (already in a)
+            ("b", ev.filter(
+                (F.col("event_id") % 2 == 1) | (F.col("event_id") % 4 == 0)
+            )),
+        )
+        import glob as _glob
+
+        for name, frame in batches:
+            sub = f"{stage}.__part_{name}"
+            frame.coalesce(1).write.option("header", True).mode(
+                "overwrite"
+            ).csv(sub)
+            part = _glob.glob(sub + "/part-*.csv")[0]
+            os.replace(part, f"{stage}/{name}.csv")
+            shutil.rmtree(sub, ignore_errors=True)
+
+    _publish_fixture_dir(landing, _build)
+
+    bronze = tempfile.mkdtemp(prefix="med_bronze_")
+    silver = tempfile.mkdtemp(prefix="med_silver_")
+    shutil.rmtree(bronze, ignore_errors=True)
+    shutil.rmtree(silver, ignore_errors=True)
+
+    schema = "event_id long, ts timestamp, user_id long, " \
+             "event_type string, value double"
+    raw = (
+        spark.readStream.schema(schema)
+        .option("header", True)
+        .option("pathGlobFilter", "*.csv")
+        .csv(landing)
+    )
+    (
+        raw.writeStream.format("parquet")
+        .option("path", bronze)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    def _to_silver(batch: DataFrame, _bid: int) -> None:
+        try:
+            existing = spark.read.parquet(silver)
+        except Exception:  # first batch: silver doesn't exist yet
+            existing = batch.sparkSession.createDataFrame([], batch.schema)
+        upsert_anti_join(batch, existing, ["event_id"]).write.mode(
+            "append"
+        ).parquet(silver)
+
+    (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(bronze)
+        .writeStream.foreachBatch(_to_silver)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+    return (
+        spark.read.parquet(silver)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _dsum("value").alias("sum_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+ORACLE_MEDALLION = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(23,8))), 2) AS DOUBLE)
+         AS sum_value
+FROM events WHERE user_id % 10 = 0
+GROUP BY event_type ORDER BY event_type
+"""
+
+
 # --------------------------------------------------------------------------
 # streaming: stream-stream interval join (fifth paradigm on the surface)
 # --------------------------------------------------------------------------
@@ -1438,6 +1555,7 @@ EXT2_REGISTRY = {
         q_stream_stream_join_run,
         ORACLE_STREAM_STREAM_JOIN,
     ),
+    "medallion_stream_run": (q_medallion_stream_run, ORACLE_MEDALLION),
 }
 
 

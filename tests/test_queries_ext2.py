@@ -336,6 +336,26 @@ def test_orc_roundtrip_pushdown(spark, sf_dir):
     assert orig.exceptAll(df).count() == 0
 
 
+def test_medallion_dedup_is_load_bearing(spark, sf_dir):
+    """The landing batches genuinely overlap (re-delivered events), so
+    the gold aggregate matching the distinct set proves the silver
+    upsert removed duplicates rather than never seeing any."""
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") % 10 == 0)
+    )
+    n_distinct = ev.count()
+    n_delivered = (
+        ev.filter(F.col("event_id") % 2 == 0).count()
+        + ev.filter(
+            (F.col("event_id") % 2 == 1) | (F.col("event_id") % 4 == 0)
+        ).count()
+    )
+    assert n_delivered > n_distinct  # duplicates really were delivered
+    gold = q2.q_medallion_stream_run(spark, sf_dir)
+    assert sum(r.n_events for r in gold.collect()) == n_distinct
+
+
 def test_stream_stream_join_matches_batch(spark, sf_dir):
     """The drained stream-stream interval join must equal its batch
     twin exactly."""
