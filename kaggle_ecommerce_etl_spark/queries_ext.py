@@ -28,6 +28,22 @@ def _dsum(col, scale: int = 2):
     return F.round(F.sum(c.cast("decimal(23,8)")), scale).cast("double")
 
 
+def _stream_fixture_dir(prefix: str, sf_dir: str, table: str = "events") -> str:
+    """Cached streaming-fixture directory path, keyed on the source
+    table's (mtime, size) so a driver testdata regeneration invalidates
+    the cache. One definition for every streaming fixture site — the
+    staleness recipe must never diverge between them."""
+    import hashlib
+    import os
+    import tempfile
+
+    st = os.stat(f"{sf_dir}/{table}.parquet")
+    tag = hashlib.md5(
+        f"{prefix}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
+    ).hexdigest()[:8]
+    return f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+
+
 def _publish_fixture_dir(src_dir: str, build) -> None:
     """Publish a streaming-fixture directory exactly once, safely under
     CONCURRENT callers (pytest alongside check_oracle/plan_audit, which
@@ -1265,11 +1281,7 @@ def q_streaming_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tag includes the source file's (mtime, size): a regenerated
     # testdata drop invalidates the cached fixture instead of serving
     # stale duplicated events
-    st = os.stat(f"{sf_dir}/events.parquet")
-    tag = _hl.md5(
-        f"{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    src_dir = _stream_fixture_dir("dedup:v1", sf_dir)
 
     def _build(stage: str) -> None:
         dups = ev.filter(F.col("event_id") % 3 == 0)
@@ -1277,7 +1289,7 @@ def q_streaming_dedup_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _publish_fixture_dir(src_dir, _build)
 
-    qname = "dedup_run_" + tag
+    qname = "dedup_run_" + os.path.basename(src_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
     query = (
         dedup_stream_exact(stream, ["event_id"])
@@ -1742,13 +1754,9 @@ def q_streaming_sessionize_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    st = os.stat(f"{sf_dir}/events.parquet")
     # "v2": fixture schema version (ts stored LTZ) — bump on any
     # change to what gets written, so stale cached fixtures die
-    tag = _hl.md5(
-        f"sess:v2:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    src_dir = _stream_fixture_dir("sess:v2", sf_dir)
 
     def _build(stage: str) -> None:
         sentinels = (
@@ -1763,7 +1771,7 @@ def q_streaming_sessionize_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _publish_fixture_dir(src_dir, _build)
 
-    qname = "sessionize_run_" + tag
+    qname = "sessionize_run_" + os.path.basename(src_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
     query = (
         sessionize_stateful(stream)
@@ -1853,11 +1861,7 @@ def q_streaming_upsert_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"]
     orders = _t(spark, sf_dir, "orders").select(*cols)
-    st = os.stat(f"{sf_dir}/orders.parquet")
-    tag = _hl.md5(
-        f"ups:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    src_dir = _stream_fixture_dir("ups:v1", sf_dir, table="orders")
 
     def _build(stage: str) -> None:
         os.makedirs(stage, exist_ok=True)
@@ -2305,11 +2309,7 @@ def q_streaming_window_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
-    st = os.stat(f"{sf_dir}/events.parquet")
-    tag = _hl.md5(
-        f"win:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    src_dir = _stream_fixture_dir("win:v1", sf_dir)
 
     def _build(stage: str) -> None:
         sentinel = spark.createDataFrame(
@@ -2325,7 +2325,7 @@ def q_streaming_window_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _publish_fixture_dir(src_dir, _build)
 
-    qname = "window_run_" + tag
+    qname = "window_run_" + os.path.basename(src_dir)
     stream = spark.readStream.schema(ev.schema).parquet(src_dir)
     agg = (
         stream.withWatermark("ts", "2 hours")

@@ -24,7 +24,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kaggle_ecommerce_etl_spark.queries_ext import _dsum, _publish_fixture_dir, _t
+from kaggle_ecommerce_etl_spark.queries_ext import (
+    _dsum,
+    _publish_fixture_dir,
+    _stream_fixture_dir,
+    _t,
+)
 
 
 # --------------------------------------------------------------------------
@@ -1334,15 +1339,21 @@ def q_medallion_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema-explicit CSV file stream into parquet → SILVER streams
     bronze through foreachBatch + upsert_anti_join (idempotent keyed
     dedup) → GOLD is the per-type aggregate over silver. The landing
-    fixture is cached; bronze/silver/checkpoints are per-call temp
-    dirs so every invocation replays the full chain deterministically.
-    Oracle = the same aggregate over the distinct event set."""
-    import hashlib as _hl
+    fixture is cached; bronze/silver/checkpoints live under ONE
+    per-call mkdtemp parent (unique by construction — children are
+    never pre-created, so there is no delete-then-recreate window),
+    and everything except silver (which feeds the returned lazy
+    frame) is reaped before returning. Oracle = the same aggregate
+    over the distinct event set."""
     import os
     import shutil
     import tempfile
 
     from kaggle_ecommerce_etl_spark.operators.dedup import upsert_anti_join
+    from kaggle_ecommerce_etl_spark.streaming.file_source import (
+        run_available_now,
+        stream_csv_directory,
+    )
 
     ev = _t(spark, sf_dir, "events").filter(
         F.col("user_id") % 10 == 0
@@ -1353,11 +1364,7 @@ def q_medallion_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "value",
     )
-    st = os.stat(f"{sf_dir}/events.parquet")
-    tag = _hl.md5(
-        f"med:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    landing = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    landing = _stream_fixture_dir("med", sf_dir)
 
     def _build(stage: str) -> None:
         os.makedirs(stage, exist_ok=True)
@@ -1381,49 +1388,40 @@ def q_medallion_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _publish_fixture_dir(landing, _build)
 
-    bronze = tempfile.mkdtemp(prefix="med_bronze_")
-    silver = tempfile.mkdtemp(prefix="med_silver_")
-    shutil.rmtree(bronze, ignore_errors=True)
-    shutil.rmtree(silver, ignore_errors=True)
+    base = tempfile.mkdtemp(prefix="med_")
+    bronze, silver = f"{base}/bronze", f"{base}/silver"
+    ck1, ck2 = f"{base}/ck1", f"{base}/ck2"
 
-    schema = "event_id long, ts timestamp, user_id long, " \
-             "event_type string, value double"
-    raw = (
-        spark.readStream.schema(schema)
-        .option("header", True)
-        .option("pathGlobFilter", "*.csv")
-        .csv(landing)
+    from pyspark.sql import types as T
+
+    schema = T.StructType.fromDDL(
+        "event_id long, ts timestamp, user_id long, "
+        "event_type string, value double"
     )
-    (
-        raw.writeStream.format("parquet")
-        .option("path", bronze)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
-    )
+    raw = stream_csv_directory(spark, landing, schema, glob="*.csv")
+    run_available_now(raw, ck1, parquet_path=bronze, query_name="bronze")
 
     def _to_silver(batch: DataFrame, _bid: int) -> None:
-        try:
+        if os.path.exists(silver):
+            # a real read failure here must PROPAGATE — swallowing it
+            # would silently disable dedup and append duplicates
             existing = spark.read.parquet(silver)
-        except Exception:  # first batch: silver doesn't exist yet
+        else:  # first batch: silver doesn't exist yet
             existing = batch.sparkSession.createDataFrame([], batch.schema)
         upsert_anti_join(batch, existing, ["event_id"]).write.mode(
             "append"
         ).parquet(silver)
 
-    (
+    run_available_now(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
-        .parquet(bronze)
-        .writeStream.foreachBatch(_to_silver)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
-        .trigger(availableNow=True)
-        .start()
-        .awaitTermination()
+        .parquet(bronze),
+        ck2,
+        foreach_batch=_to_silver,
+        query_name="silver",
     )
 
-    return (
+    gold = (
         spark.read.parquet(silver)
         .groupBy("event_type")
         .agg(
@@ -1432,6 +1430,10 @@ def q_medallion_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+    # silver feeds the returned lazy frame; everything else is done
+    for d in (bronze, ck1, ck2):
+        shutil.rmtree(d, ignore_errors=True)
+    return gold
 
 
 ORACLE_MEDALLION = """
@@ -1464,11 +1466,7 @@ def q_stream_stream_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "user_id", "event_type",
     )
-    st = os.stat(f"{sf_dir}/events.parquet")
-    tag = _hl.md5(
-        f"ssj:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    src_dir = f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
+    src_dir = _stream_fixture_dir("ssj:v1", sf_dir)
 
     def _build(stage: str) -> None:
         ev.repartition(2).write.mode("overwrite").parquet(stage)
@@ -1500,7 +1498,7 @@ def q_stream_stream_join_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 30 MINUTES"))
         & (F.col("c_ts") <= F.col("p_ts")),
     )
-    qname = "ssj_run_" + tag
+    qname = "ssj_run_" + os.path.basename(src_dir)
     query = (
         joined.writeStream.format("memory")
         .queryName(qname)

@@ -30,15 +30,19 @@ def stream_csv_directory(
     path: str,
     schema: StructType,
     max_files_per_trigger: int | None = None,
+    glob: str | None = None,
 ) -> DataFrame:
     """Streaming read of a CSV drop directory (the reference's
-    kaggle/raw/ prefix)."""
+    kaggle/raw/ prefix). ``glob`` prunes non-data files (publish
+    markers, sidecars) at listing time."""
     reader = (
         spark.readStream.schema(schema)
         .option("header", True)
     )
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    if glob is not None:
+        reader = reader.option("pathGlobFilter", glob)
     return reader.csv(path)
 
 
@@ -90,13 +94,19 @@ def run_available_now(
     checkpoint_dir: str,
     foreach_batch=None,
     query_name: str = "ingest",
+    parquet_path: str | None = None,
 ):
     """Drain everything currently in the source, then stop — the
     event-driven micro-batch model of the reference, with exact
-    file tracking. Returns the finished StreamingQuery."""
+    file tracking. ``parquet_path`` selects the exactly-once parquet
+    file sink (_spark_metadata tracking) — stronger than a
+    foreachBatch append, which is only at-least-once under replay.
+    Returns the finished StreamingQuery."""
     writer = stream_df.writeStream.option("checkpointLocation", checkpoint_dir)
     if foreach_batch is not None:
         writer = writer.foreachBatch(foreach_batch)
+    elif parquet_path is not None:
+        writer = writer.format("parquet").option("path", parquet_path)
     else:
         writer = writer.format("noop")
     q = writer.queryName(query_name).trigger(availableNow=True).start()

@@ -345,15 +345,25 @@ def test_medallion_dedup_is_load_bearing(spark, sf_dir):
         .filter(F.col("user_id") % 10 == 0)
     )
     n_distinct = ev.count()
-    n_delivered = (
-        ev.filter(F.col("event_id") % 2 == 0).count()
-        + ev.filter(
-            (F.col("event_id") % 2 == 1) | (F.col("event_id") % 4 == 0)
-        ).count()
-    )
-    assert n_delivered > n_distinct  # duplicates really were delivered
     gold = q2.q_medallion_stream_run(spark, sf_dir)
     assert sum(r.n_events for r in gold.collect()) == n_distinct
+    # count what the pipeline ACTUALLY delivered from its own landing
+    # files (not a re-derivation of the split predicates): the batches
+    # must overlap, or the dedup guarantee was never exercised
+    from kaggle_ecommerce_etl_spark.queries_ext import _stream_fixture_dir
+
+    landing = _stream_fixture_dir("med", sf_dir)
+    delivered = (
+        spark.read.schema(
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double"
+        )
+        .option("header", True)
+        .option("pathGlobFilter", "*.csv")
+        .csv(landing)
+    )
+    assert delivered.count() > n_distinct  # duplicates really landed
+    assert delivered.select("event_id").distinct().count() == n_distinct
 
 
 def test_stream_stream_join_matches_batch(spark, sf_dir):
