@@ -118,8 +118,12 @@ def _build_sf1(spark, src_dir: str) -> str:
 
     rep = spark.range(SF1_REPLICAS).select(F.col("id").alias("__r"))
     orders = spark.read.parquet(f"{src_dir}/orders.parquet")
+    customer = spark.read.parquet(f"{src_dir}/customer.parquet")
     ok_span = orders.agg(F.max("o_orderkey") + 1).first()[0]
-    ck_span = orders.agg(F.max("o_custkey") + 1).first()[0]
+    # span from the CUSTOMER table, not orders: orderless customers at
+    # the top of the key range would otherwise collide across replicas
+    # and duplicate c_custkey rows, inflating sf1 join fan-out
+    ck_span = customer.agg(F.max("c_custkey") + 1).first()[0]
 
     li = spark.read.parquet(f"{src_dir}/lineitem.parquet").crossJoin(rep)
     li.withColumn(
@@ -132,7 +136,7 @@ def _build_sf1(spark, src_dir: str) -> str:
         "o_custkey", F.col("o_custkey") + F.col("__r") * ck_span
     ).drop("__r").write.mode("overwrite").parquet(f"{stage}/orders.parquet")
 
-    spark.read.parquet(f"{src_dir}/customer.parquet").crossJoin(rep).withColumn(
+    customer.crossJoin(rep).withColumn(
         "c_custkey", F.col("c_custkey") + F.col("__r") * ck_span
     ).drop("__r").write.mode("overwrite").parquet(f"{stage}/customer.parquet")
 
@@ -173,7 +177,19 @@ def _build_sf1(spark, src_dir: str) -> str:
         fh.write("ok")
     try:
         os.rename(stage, dst)
+        return dst
     except OSError:
+        pass
+    if os.path.exists(done):  # lost the race to a complete winner
+        shutil.rmtree(stage, ignore_errors=True)
+        return dst
+    # dst exists but is marker-less (a CRASHED earlier build): replace
+    # it with our complete stage — returning the half-written dst would
+    # bench partial data on every subsequent run
+    shutil.rmtree(dst, ignore_errors=True)
+    try:
+        os.rename(stage, dst)
+    except OSError:  # another racer completed the replacement first
         shutil.rmtree(stage, ignore_errors=True)
     return dst
 

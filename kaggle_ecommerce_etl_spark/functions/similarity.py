@@ -381,6 +381,15 @@ def cosine_self_topk_blocked(
         )
         row_bytes = max(dim * 8 + 48, 64)
         n_rows = max(1, size_bytes // row_bytes)
+        # stat-less sources (JDBC, RDD-backed frames) report the
+        # defaultSizeInBytes sentinel (~Long.MaxValue): the derived
+        # "row count" would put every row in its own singleton block
+        # and the block cross join would degenerate to the exact n²
+        # this blocking exists to prevent. Detect the absurd estimate
+        # and fall back to ONE real count — a full pass, but a correct
+        # grid (callers with known cardinality pass n_rows instead).
+        if n_rows > 10**12:
+            n_rows = max(1, df.count())
     n_blocks = max(1, math.ceil(n_rows / block_rows))
     src = df.select(
         F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("__blk"),

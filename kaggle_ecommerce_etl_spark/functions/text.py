@@ -101,7 +101,14 @@ def quality_score_expr(col: Column) -> Column:
     and the 4-decimal half-up rounding is integer floor-div + remainder
     compare. A double formulation diverged from the DuckDB oracle by
     1 ULP at a .00005 boundary on one sf0.1 row (r4 scale probe);
-    integer arithmetic makes the value engine-independent at any SF."""
+    integer arithmetic makes the value engine-independent at any SF.
+
+    Exactness bound: the intermediate products stay inside long range
+    for L·n ≤ ~4e11 (multi-MB documents with hundreds of thousands of
+    tokens — far beyond any sane training document); the floor
+    division itself is long-verified (double candidate + exact long
+    correction), so it stays exact even past 2^53 where a pure double
+    quotient could truncate one off."""
     n = token_count_expr(col)
     l1 = F.greatest(F.length(col), F.lit(1)).cast("long")
     n1 = F.greatest(n, F.lit(1))
@@ -115,9 +122,18 @@ def quality_score_expr(col: Column) -> Column:
     den = F.lit(1000) * l1 * n1
     a = num * F.lit(10000)
     r = F.pmod(a, den)
-    # (a - r) / b divides exactly; IEEE division of exact multiples is
-    # exact, so the floor quotient is integer-precise
-    k = ((a - r) / den).cast("long")
+    # double division gives a CANDIDATE quotient; past 2^53 the exact
+    # multiple (a - r) is not representable and the candidate can be
+    # one off, so verify/correct it in exact LONG arithmetic (the true
+    # quotient is ≤ ~10^4, so k*den cannot overflow within the
+    # documented L·n bound)
+    kd = ((a - r) / den).cast("long")
+    exact = a - r
+    k = (
+        F.when(kd * den > exact, kd - 1)
+        .when((kd + 1) * den <= exact, kd + 1)
+        .otherwise(kd)
+    )
     v = k + (r * 2 >= den).cast("long")
     return v.cast("double") / F.lit(10000.0)
 

@@ -28,19 +28,26 @@ def _dsum(col, scale: int = 2):
     return F.round(F.sum(c.cast("decimal(23,8)")), scale).cast("double")
 
 
-def _stream_fixture_dir(prefix: str, sf_dir: str, table: str = "events") -> str:
-    """Cached streaming-fixture directory path, keyed on the source
-    table's (mtime, size) so a driver testdata regeneration invalidates
-    the cache. One definition for every streaming fixture site — the
-    staleness recipe must never diverge between them."""
+def _fixture_tag(prefix: str, sf_dir: str, table: str = "events") -> str:
+    """Staleness tag for any cached fixture derived from a testdata
+    table: keyed on the source's (mtime, size) so a driver testdata
+    regeneration invalidates the cache. ONE recipe for every fixture
+    site (streaming dirs, JDBC database names, format round-trips) —
+    it must never diverge between them."""
     import hashlib
     import os
-    import tempfile
 
     st = os.stat(f"{sf_dir}/{table}.parquet")
-    tag = hashlib.md5(
+    return hashlib.md5(
         f"{prefix}:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
     ).hexdigest()[:8]
+
+
+def _stream_fixture_dir(prefix: str, sf_dir: str, table: str = "events") -> str:
+    """Cached streaming-fixture directory path (see _fixture_tag)."""
+    import tempfile
+
+    tag = _fixture_tag(prefix, sf_dir, table)
     return f"{tempfile.gettempdir()}/spark_graft_stream_src/{tag}"
 
 
@@ -72,9 +79,31 @@ def _publish_fixture_dir(src_dir: str, build) -> None:
     if os.path.exists(done):  # lost the race to a complete winner
         shutil.rmtree(stage, ignore_errors=True)
         return
-    # destination exists but is marker-less (a CRASHED earlier run):
-    # replace it with our complete stage
-    shutil.rmtree(src_dir, ignore_errors=True)
+    # Destination exists but looked marker-less (a CRASHED earlier
+    # run). Never rmtree it in place — between our marker check and
+    # the delete, another racer may have just renamed a COMPLETE
+    # fixture there and begun streaming from it. Instead atomically
+    # CLAIM the old directory by renaming it aside (only one process
+    # can win that rename), re-check what we actually claimed, and
+    # only then dispose of it.
+    aside = f"{src_dir}.__dead__{os.getpid()}"
+    try:
+        os.rename(src_dir, aside)
+    except OSError:
+        # someone else claimed or replaced it; if a complete fixture
+        # now exists we are done either way
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    if os.path.exists(aside + "/_SPARK_GRAFT_READY"):
+        # we claimed a COMPLETE fixture that won the race moments ago
+        # — put it back (or drop it if yet another complete one landed)
+        try:
+            os.rename(aside, src_dir)
+        except OSError:
+            shutil.rmtree(aside, ignore_errors=True)
+        shutil.rmtree(stage, ignore_errors=True)
+        return
+    shutil.rmtree(aside, ignore_errors=True)
     try:
         os.rename(stage, src_dir)
     except OSError:  # another racer completed the replacement first
@@ -2645,11 +2674,9 @@ def q_jdbc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus",
         F.round("o_totalprice", 2).alias("total_price"),
     )
-    st = os.stat(f"{sf_dir}/orders.parquet")
-    tag = _hl.md5(
-        f"jdbc:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    url = derby_memory_url(f"rt_{tag}")
+    url = derby_memory_url(
+        "rt_" + _fixture_tag("jdbc:v1", sf_dir, "orders")
+    )
     props = {"driver": DERBY_DRIVER}
     types = "o_orderkey BIGINT, o_orderstatus VARCHAR(16), total_price DOUBLE"
     for part in (

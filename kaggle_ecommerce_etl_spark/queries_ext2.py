@@ -47,7 +47,12 @@ def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
     )
     orders = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long")
+    # coalesce: a NULL priority must count as LOW (the oracle's CASE
+    # routes NULL to ELSE), not vanish from both sums
+    high = F.coalesce(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").cast("long"),
+        F.lit(0),
+    )
     return (
         li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_linestatus")
@@ -1233,11 +1238,17 @@ FROM ranked GROUP BY doc_id
 # interchange format) and ORC
 # --------------------------------------------------------------------------
 
-def _format_fixture(sf_dir: str, name: str) -> str:
-    import hashlib
+def _format_fixture(sf_dir: str, name: str, table: str) -> str:
+    """Cached format-fixture path keyed on the SOURCE table's
+    (mtime, size) via the shared _fixture_tag recipe — a testdata
+    regeneration under the same sf_dir must invalidate the cached
+    JSONL/ORC fixture, or the oracle (reading the fresh parquet)
+    diverges from a stale cache."""
     import tempfile
 
-    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    from kaggle_ecommerce_etl_spark.queries_ext import _fixture_tag
+
+    tag = _fixture_tag(f"fmt:{name}", sf_dir, table)
     return f"{tempfile.gettempdir()}/spark_graft_fixtures/{tag}/{name}"
 
 
@@ -1251,7 +1262,7 @@ def q_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").select(
         "doc_id", "text", "lang", "source", "n_chars"
     )
-    path = _format_fixture(sf_dir, "docs_jsonl")
+    path = _format_fixture(sf_dir, "docs_jsonl", "documents")
 
     def _build(stage: str) -> None:
         d.repartition(4).write.mode("overwrite").json(stage)
@@ -1284,7 +1295,7 @@ def q_jsonl_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
-    path = _format_fixture(sf_dir, "docs_jsonl_corrupt")
+    path = _format_fixture(sf_dir, "docs_jsonl_corrupt", "documents")
 
     def _build(stage: str) -> None:
         d.repartition(2).write.mode("overwrite").json(stage)
@@ -1312,7 +1323,7 @@ def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", "o_orderstatus", F.round("o_totalprice", 2).alias("total")
     )
-    path = _format_fixture(sf_dir, "orders_orc")
+    path = _format_fixture(sf_dir, "orders_orc", "orders")
 
     def _build(stage: str) -> None:
         o.repartition(4).write.mode("overwrite").orc(stage)

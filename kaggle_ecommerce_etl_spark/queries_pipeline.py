@@ -265,12 +265,10 @@ def q_pipeline_jdbc_load(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_upsert_jdbc,
     )
 
+    from kaggle_ecommerce_etl_spark.queries_ext import _fixture_tag
+
     clean, _ = _run_amazon(spark, sf_dir)
-    st = os.stat(f"{sf_dir}/orders.parquet")
-    tag = _hl.md5(
-        f"pjl:v1:{sf_dir}:{st.st_mtime_ns}:{st.st_size}".encode()
-    ).hexdigest()[:8]
-    url = derby_memory_url(f"pjl_{tag}")
+    url = derby_memory_url("pjl_" + _fixture_tag("pjl:v1", sf_dir, "orders"))
     props = {"driver": DERBY_DRIVER}
     # NO createTableColumnTypes: several string columns carry NULLs,
     # and Spark's DerbyDialect binds those as setNull(CLOB) — Derby

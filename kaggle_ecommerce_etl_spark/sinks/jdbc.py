@@ -163,7 +163,24 @@ def write_upsert_jdbc(
     try:
         existing = spark.read.jdbc(url=url, table=table, properties=props)
         existing.schema  # force resolution now — missing table raises here
-    except Exception:  # noqa: BLE001 — first load: target doesn't exist yet
+    except Exception as e:  # noqa: BLE001
+        # ONLY a missing table counts as empty (first load creates it).
+        # Any other failure — connection refused, auth, permissions —
+        # must PROPAGATE: swallowing it would replace `existing` with
+        # an empty frame, disable the anti-join dedup, and append
+        # duplicates, silently breaking the DO-NOTHING contract.
+        msg = str(e).lower()
+        if not any(
+            pat in msg
+            for pat in (
+                "does not exist",      # Derby/Postgres phrasing
+                "not found",           # generic
+                "table_or_view_not_found",
+                "42x05",               # Derby SQLState for missing table
+                "42p01",               # Postgres SQLState for missing table
+            )
+        ):
+            raise
         existing = spark.createDataFrame([], incoming.schema)
     to_append = upsert_anti_join(
         incoming, existing.select(*keys), keys, order_by=order_by

@@ -155,3 +155,47 @@ def test_quality_score_matches_exact_fraction_reference(spark, docs):
         scaled = Fraction(num * 10000, den)
         v = int(scaled) + (1 if (scaled - int(scaled)) * 2 >= 1 else 0)
         assert got[i] == v / 10000.0, (i, t, got[i], v)
+
+
+def test_quality_score_exact_for_large_documents(spark):
+    """Regression for the >2^53 regime: a ~200 KB document pushes the
+    scaled numerator past double-exact territory; the long-verified
+    floor correction must still match exact Fraction arithmetic."""
+    import re
+    from fractions import Fraction
+
+    from kaggle_ecommerce_etl_spark.functions.text import (
+        STOPWORDS,
+        quality_score_expr,
+    )
+
+    big = ("the data spark merge row " * 8000).strip()  # ~200 KB, 40k tokens
+    texts = [big, big + " .,;", "the " * 50000]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {
+        r.id: r.q
+        for r in df.select(
+            "id", quality_score_expr(F.col("text")).alias("q")
+        ).collect()
+    }
+    sw = set(STOPWORDS["en"])
+    for i, t in enumerate(texts):
+        trimmed = t.strip()
+        n = 0 if trimmed == "" else len(re.split(r"\s+", trimmed))
+        l1 = max(len(t), 1)
+        n1 = max(n, 1)
+        p = sum(1 for ch in t if ch in ".!?,;:")
+        toks = re.split(r"[^a-z]+", trimmed.lower())
+        sh = sum(1 for x in toks if x in sw)
+        num = (
+            4 * min(n, 100) * l1 * n1
+            + 300 * n1 * (l1 - p)
+            + 300 * l1 * min(5 * sh, n1)
+        )
+        den = 1000 * l1 * n1
+        assert num * 10000 > 2**53  # the regime this test exists for
+        scaled = Fraction(num * 10000, den)
+        v = int(scaled) + (1 if (scaled - int(scaled)) * 2 >= 1 else 0)
+        assert got[i] == v / 10000.0, (i, got[i], v)

@@ -308,7 +308,7 @@ def test_jsonl_quarantine_catches_garbage(spark, sf_dir):
         read_jsonl_quarantine,
     )
 
-    path = q2._format_fixture(sf_dir, "docs_jsonl_corrupt")
+    path = q2._format_fixture(sf_dir, "docs_jsonl_corrupt", "documents")
     _good, bad = read_jsonl_quarantine(
         spark, path, "doc_id long, lang string, n_chars long", glob="part-*"
     )
