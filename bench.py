@@ -107,7 +107,10 @@ def _build_sf1(spark, src_dir: str) -> str:
     for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
         st = os.stat(f"{src_dir}/{t}.parquet")
         sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
-    tag = hashlib.md5(("|".join(sig) + ":v1").encode()).hexdigest()[:8]
+    # :v2 — generator version (customer-table ck_span); bump whenever
+    # the replica derivation changes, or a cached old-layout sf1 dir
+    # would be served under the same source signature
+    tag = hashlib.md5(("|".join(sig) + ":v2").encode()).hexdigest()[:8]
     dst = f"{tempfile.gettempdir()}/spark_graft_sf1/{tag}"
     done = f"{dst}/_SPARK_GRAFT_READY"
     if os.path.exists(done):
