@@ -627,6 +627,89 @@ FROM o
 """
 
 
+def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksum — the anti-entropy primitive
+    for verifying a 100 TB replica/migration without sorting or
+    moving rows: each row hashes to an md5-derived 32-bit integer
+    (the cross-engine-stable recipe hash_sample proved) and a plain
+    SUM aggregates them — commutative, so ANY partitioning/ordering
+    yields the same digest; map-side partials mean the shuffle carries
+    one number per partition. Per-status grouping localizes a
+    mismatch to a partition of the keyspace."""
+    o = _t(spark, sf_dir, "orders")
+    row_repr = F.concat_ws(
+        "|",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_custkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
+        F.date_format("o_orderdate", "yyyy-MM-dd"),
+        F.col("o_orderpriority"),
+    )
+    h32 = F.conv(
+        F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10
+    ).cast("long")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(h32).alias("checksum"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_TABLE_CHECKSUM = """
+WITH h AS (
+  SELECT o_orderstatus,
+         ('0x' || substr(md5(
+            CAST(o_orderkey AS VARCHAR) || '|' ||
+            CAST(o_custkey AS VARCHAR) || '|' ||
+            o_orderstatus || '|' ||
+            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
+            strftime(o_orderdate, '%Y-%m-%d') || '|' ||
+            o_orderpriority
+         ), 1, 8))::BIGINT AS h32
+  FROM orders)
+SELECT o_orderstatus, COUNT(*) AS n_rows,
+       CAST(SUM(h32) AS BIGINT) AS checksum
+FROM h GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_join_hints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-strategy control surface: the same logical join executed
+    under an explicit SHUFFLE_MERGE hint — values identical to the
+    optimizer's own choice (the oracle), while tests/test_queries_ext2
+    asserts the hint actually flipped the physical plan to a
+    SortMergeJoin where AQE would have broadcast. The escape hatch for
+    when statistics mislead the planner (a 'small' side that explodes
+    after filters) — at 100 TB forcing merge avoids an executor-OOM
+    broadcast of an underestimated build side."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    ).hint("shuffle_merge")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            _dsum("l_quantity").alias("sum_qty"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+ORACLE_JOIN_HINTS = """
+SELECT o_orderpriority, COUNT(*) AS n_lines,
+       CAST(round(SUM(CAST(l_quantity AS DECIMAL(23,8))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 def q_set_ops_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multiset (bag) set operations — EXCEPT ALL / INTERSECT ALL keep
     DUPLICATE CARDINALITY, unlike the distinct variants already on the
@@ -1554,6 +1637,8 @@ EXT2_REGISTRY = {
     "set_ops_multiset": (q_set_ops_multiset, ORACLE_SET_OPS_MULTISET),
     "range_frame_window": (q_range_frame_window, ORACLE_RANGE_FRAME),
     "multimodal_dedup": (q_multimodal_dedup, ORACLE_MULTIMODAL_DEDUP),
+    "table_checksum": (q_table_checksum, ORACLE_TABLE_CHECKSUM),
+    "join_hints": (q_join_hints, ORACLE_JOIN_HINTS),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
     "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),
     "dedup_keep_richest": (q_dedup_keep_richest, ORACLE_DEDUP_RICHEST),

@@ -191,6 +191,45 @@ def test_corpus_pipeline_invariants(spark, sf_dir):
     assert n <= n_docs
 
 
+def test_join_hint_forces_sort_merge(spark, sf_dir):
+    """The SHUFFLE_MERGE hint must flip the physical join to
+    SortMergeJoin where the planner would otherwise broadcast."""
+    df = q2.q_join_hints(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan, plan[:600]
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    unhinted = li.join(o, li.l_orderkey == o.o_orderkey)
+    uplan = unhinted._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in uplan, uplan[:600]
+
+
+def test_table_checksum_order_independent(spark, sf_dir):
+    """The checksum must be invariant under repartitioning (the whole
+    point), and sensitive to a single changed cell."""
+    base = {
+        r.o_orderstatus: r.checksum
+        for r in q2.q_table_checksum(spark, sf_dir).collect()
+    }
+    import kaggle_ecommerce_etl_spark.queries as q
+
+    orig_t = q._t
+
+    def shuffled_t(spark_, sf_dir_, name):
+        df = orig_t(spark_, sf_dir_, name)
+        return df.repartition(13) if name == "orders" else df
+
+    try:
+        q._t = shuffled_t
+        again = {
+            r.o_orderstatus: r.checksum
+            for r in q2.q_table_checksum(spark, sf_dir).collect()
+        }
+    finally:
+        q._t = orig_t
+    assert again == base
+
+
 def test_merge_upsert_semantics(spark, sf_dir):
     """Matched keys take the batch values; target-only and batch-only
     keys survive with their own side's values."""
