@@ -311,6 +311,126 @@ FROM c GROUP BY 1 ORDER BY 1
 """
 
 
+_TRUNC_TOKENS = 64
+
+
+def q_doc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-length truncation — cap every document at 64 whitespace
+    tokens (the cheap head-truncation every fixed-window trainer
+    applies): pure array slice + rejoin expressions, whole-stage
+    codegen, zero shuffle. Reports kept/dropped token counts so the
+    loss is measurable."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    kept = F.slice(toks, 1, _TRUNC_TOKENS)
+    return d.select(
+        "doc_id",
+        F.array_join(kept, " ").alias("text_trunc"),
+        F.least(F.size(toks), F.lit(_TRUNC_TOKENS)).alias("n_kept"),
+        F.greatest(
+            F.size(toks) - F.lit(_TRUNC_TOKENS), F.lit(0)
+        ).alias("n_dropped"),
+    )
+
+
+ORACLE_DOC_TRUNCATE = f"""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  FROM documents)
+SELECT doc_id,
+       array_to_string(w[1:{_TRUNC_TOKENS}], ' ') AS text_trunc,
+       least(len(w), {_TRUNC_TOKENS}) AS n_kept,
+       greatest(len(w) - {_TRUNC_TOKENS}, 0) AS n_dropped
+FROM t
+"""
+
+
+def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZATION step of sequence packing: documents in each
+    2048-token bin (same contract as pack_sequences) are concatenated
+    in order with an <eos> separator into ONE training row per bin.
+    sort_array over (doc_id, text) structs makes the concatenation
+    order deterministic — never collect_list luck; the only shuffle is
+    the groupBy(bin)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    tok = d.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("norm_text"),
+        F.size(toks).alias("n_tokens"),
+        F.floor(F.col("doc_id") / _PACK_BUCKET).alias("bkt"),
+    )
+    offsets = (
+        tok.groupBy("bkt")
+        .agg(F.sum("n_tokens").alias("bkt_tokens"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bkt_tokens").over(
+                    Window.orderBy("bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("bkt", "offset")
+    )
+    win = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    binned = (
+        tok.join(F.broadcast(offsets), "bkt")
+        .withColumn(
+            "running",
+            F.col("offset") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)),
+        )
+        .withColumn(
+            "bin_id", F.floor(F.col("running") / _PACK_CAPACITY).cast("long")
+        )
+    )
+    return (
+        binned.groupBy("bin_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(F.col("doc_id"), F.col("norm_text"))
+                        )
+                    ),
+                    lambda x: x["norm_text"],
+                ),
+                " <eos> ",
+            ).alias("packed_text"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("sum_tokens"),
+        )
+        .orderBy("bin_id")
+    )
+
+
+ORACLE_PACK_MATERIALIZE = f"""
+WITH t AS (
+  SELECT doc_id,
+         array_to_string(string_split_regex(lower(trim(text)), '\\s+'),
+                         ' ') AS norm_text,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, norm_text, n_tokens,
+         COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS running
+  FROM t)
+SELECT CAST(floor(running / {_PACK_CAPACITY}) AS BIGINT) AS bin_id,
+       string_agg(norm_text, ' <eos> ' ORDER BY doc_id) AS packed_text,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens
+FROM c GROUP BY 1 ORDER BY 1
+"""
+
+
 _SHUF_SEED = "shuf42:"
 
 
@@ -1624,6 +1744,8 @@ EXT2_REGISTRY = {
     "small_qty_revenue": (q_small_qty_revenue, ORACLE_SMALL_QTY),
     "late_supplier_blame": (q_late_supplier_blame, ORACLE_LATE_BLAME),
     "pack_sequences": (q_pack_sequences, ORACLE_PACK_SEQUENCES),
+    "pack_materialize": (q_pack_materialize, ORACLE_PACK_MATERIALIZE),
+    "doc_truncate": (q_doc_truncate, ORACLE_DOC_TRUNCATE),
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "token_rarity": (q_token_rarity, ORACLE_TOKEN_RARITY),
     "semantic_dedup_keep": (q_semantic_dedup_keep, ORACLE_SEMANTIC_DEDUP),
