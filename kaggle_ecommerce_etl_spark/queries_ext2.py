@@ -747,6 +747,56 @@ FROM o
 """
 
 
+def q_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parallel JDBC ingestion: a Derby table is scanned back through
+    FOUR concurrent range partitions on the key column
+    (sinks.jdbc.read_jdbc_partitioned) instead of one cursor — the
+    scale-out read path a DB migration needs (the reference reads with
+    a single psycopg2 cursor). Partitioning is an execution detail:
+    values equal the plain projection (the oracle); the 4-way split is
+    asserted in pytest via rdd.getNumPartitions."""
+    from kaggle_ecommerce_etl_spark.queries_ext import _fixture_tag
+    from kaggle_ecommerce_etl_spark.sinks.jdbc import (
+        DERBY_DRIVER,
+        derby_memory_url,
+        read_jdbc_partitioned,
+        write_jdbc_append,
+    )
+
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 4 == 0
+    ).select(
+        "o_orderkey",
+        F.round("o_totalprice", 2).alias("total"),
+    )
+    url = derby_memory_url(
+        "pr_" + _fixture_tag("jdbcpr:v1", sf_dir, "orders")
+    )
+    props = {"driver": DERBY_DRIVER}
+    hi = o.agg(F.max("o_orderkey")).first()[0] or 1
+    try:
+        spark.read.jdbc(url=url, table="orders_pr", properties=props).schema
+    except Exception as e:  # noqa: BLE001 — only MISSING table may load
+        if "does not exist" not in str(e).lower():
+            raise
+        write_jdbc_append(
+            o, url, "orders_pr", properties=props,
+            column_types="o_orderkey BIGINT, total DOUBLE",
+        )
+    return read_jdbc_partitioned(
+        spark, url, "orders_pr",
+        partition_column="o_orderkey",
+        lower_bound=0, upper_bound=int(hi), num_partitions=4,
+        properties=props,
+    )
+
+
+ORACLE_JDBC_PARTITIONED = """
+SELECT o_orderkey, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderkey % 4 = 0
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum — the anti-entropy primitive
     for verifying a 100 TB replica/migration without sorting or
@@ -1760,6 +1810,10 @@ EXT2_REGISTRY = {
     "range_frame_window": (q_range_frame_window, ORACLE_RANGE_FRAME),
     "multimodal_dedup": (q_multimodal_dedup, ORACLE_MULTIMODAL_DEDUP),
     "table_checksum": (q_table_checksum, ORACLE_TABLE_CHECKSUM),
+    "jdbc_partitioned_read": (
+        q_jdbc_partitioned_read,
+        ORACLE_JDBC_PARTITIONED,
+    ),
     "join_hints": (q_join_hints, ORACLE_JOIN_HINTS),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
     "cdc_apply": (q_cdc_apply, ORACLE_CDC_APPLY),

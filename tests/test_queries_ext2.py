@@ -204,6 +204,19 @@ def test_join_hint_forces_sort_merge(spark, sf_dir):
     assert "BroadcastHashJoin" in uplan, uplan[:600]
 
 
+def test_jdbc_partitioned_read_parallelism(spark, sf_dir):
+    """The partitioned JDBC scan must actually split into 4 concurrent
+    range partitions and lose no rows."""
+    df = q2.q_jdbc_partitioned_read(spark, sf_dir)
+    assert df.rdd.getNumPartitions() == 4
+    expect = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .filter(F.col("o_orderkey") % 4 == 0)
+        .count()
+    )
+    assert df.count() == expect
+
+
 def test_table_checksum_order_independent(spark, sf_dir):
     """The checksum must be invariant under repartitioning (the whole
     point), and sensitive to a single changed cell."""
