@@ -114,3 +114,34 @@ def test_sessionized_stream_batch_semantics(spark, sf_dir):
     ).withColumn("ts", F.col("ts").cast("timestamp"))
     out = sessionized_stream(ev).collect()
     assert sorted((r.user_id, r.n_events) for r in out) == [(7, 1), (7, 2)]
+
+
+def test_checkpoint_resume_exactly_once(spark, tmp_path):
+    """Restart semantics: a second AvailableNow run on the SAME
+    checkpoint must process only files that landed after the first
+    drain — nothing reprocessed, nothing lost."""
+    import pandas as pd
+
+    from kaggle_ecommerce_etl_spark.streaming.file_source import (
+        run_available_now,
+    )
+
+    src = tmp_path / "landing"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+    pd.DataFrame({"k": [1, 2, 3]}).to_json(
+        src / "a.json", orient="records", lines=True
+    )
+    stream = lambda: spark.readStream.schema("k long").json(str(src))  # noqa: E731
+
+    run_available_now(stream(), str(ck), parquet_path=str(out))
+    first = spark.read.parquet(str(out))
+    assert sorted(r.k for r in first.collect()) == [1, 2, 3]
+
+    pd.DataFrame({"k": [4, 5]}).to_json(
+        src / "b.json", orient="records", lines=True
+    )
+    run_available_now(stream(), str(ck), parquet_path=str(out))
+    second = spark.read.parquet(str(out))
+    assert sorted(r.k for r in second.collect()) == [1, 2, 3, 4, 5]
