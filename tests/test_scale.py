@@ -209,3 +209,60 @@ def test_zorder_layout_prunes_both_dimensions(spark, sf_dir, tmp_path):
     r_hits = files_containing(rdir, "o_custkey", 10, 20)
     assert r_hits == 8, "hash-scattered layout straddles every file"
     assert z_hits < 8, "zorder layout must let min/max stats skip files"
+
+
+def test_aqe_skew_join_splits_hot_partition(spark, sf_dir):
+    """AQE's runtime skew handling — the automatic cousin of
+    operators.scale.salted_join: with the skew thresholds lowered to
+    test scale, a pathologically hot join key must plan a
+    SortMergeJoin marked ``skew=true`` (the hot partition split into
+    sub-partitions at runtime), and values must equal the plain
+    aggregate."""
+    from pyspark.sql import functions as F
+
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(
+            (F.col("l_orderkey") % 3 == 0).cast("long").alias("skew_key"),
+            "l_quantity",
+        )
+        # skew splitting works at MAP-OUTPUT granularity: a single-file
+        # scan has one mapper and an unsplittable hot partition, so
+        # spread the input over many mappers first
+        .repartition(16)
+    )  # ~1/3 of rows land on key 1 → one hot partition
+    dim = spark.range(2).select(
+        F.col("id").alias("skew_key"),
+        F.concat(F.lit("K"), F.col("id")).alias("label"),
+    )
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "4k",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "4k",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # force SMJ
+    }
+    saved = {k: spark.conf.get(k, None) for k in conf}
+    try:
+        for k, v in conf.items():
+            spark.conf.set(k, v)
+        # assert on the BARE join: a downstream groupBy imposes a
+        # distribution requirement that makes AQE skip the skew split
+        # (it would need an extra shuffle; see forceOptimizeSkewedJoin)
+        joined = li.join(dim, "skew_key")
+        rows = joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "skew=true" in plan, plan[:800]
+    # the split must not duplicate or drop rows
+    from collections import Counter
+
+    got = Counter((r.skew_key, r.label) for r in rows)
+    expect = Counter()
+    for r in li.groupBy("skew_key").count().collect():
+        expect[(r.skew_key, "K" + str(int(r.skew_key)))] = r["count"]
+    assert got == expect
