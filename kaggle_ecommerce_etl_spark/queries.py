@@ -1526,6 +1526,19 @@ def _merge_pipeline() -> None:
 #: (replacing the __EXT_TOP__ placeholder, in this order)
 EXT_TOP = ("streaming_dedup_run", "streaming_sessionize_run", "asof_join_orders")
 
+#: One representative per SURVEY §2 family that must NEVER rotate out
+#: of DRIVER_WINDOW (single source of truth for
+#: tests/test_entry.py::test_driver_window_invariants and
+#: scripts/rotate_window.py).
+WINDOW_ANCHORS = (
+    "pricing_summary", "conflict_split_clean", "dedup_full_rows",
+    "tolerant_numeric", "date_normalize", "month_datetime",
+    "na_canonicalize", "pipeline_amazon_clean", "csv_roundtrip",
+    "upsert_roundtrip", "ddl_roundtrip", "events_tumbling",
+    "dedup_exact_docs", "minhash_signatures", "cosine_topk",
+    "multimodal_metadata",
+)
+
 #: The driver hash-checks the FIRST 50 registry queries. This list IS
 #: the window, applied as a final reorder after all merges: rotated
 #: each round so every oracle-bearing query eventually earns a

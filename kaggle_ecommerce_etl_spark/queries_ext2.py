@@ -232,24 +232,18 @@ _PACK_CAPACITY = 2048
 _PACK_BUCKET = 64  # docs per cumsum bucket (range partition stand-in)
 
 
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sequence packing — the step that turns a deduped corpus into
-    fixed-budget training rows: documents in doc_id order are laid
-    head-to-tail and cut into 2048-token bins (a doc spanning a
-    boundary belongs to the bin where it starts, exactly like a
-    streaming packer that lets sequences cross boundaries).
-
-    The global exclusive prefix-sum is computed SCALABLY — never one
-    giant window partition: per-bucket token totals (tiny aggregate)
-    give broadcast offsets, the within-bucket cumsum windows only over
-    its bucket. At 100 TB the bucket would be the range-partition id
-    from a sorted write; the two-phase shape is identical."""
-    d = _t(spark, sf_dir, "documents")
+def _pack_binned(d: DataFrame) -> DataFrame:
+    """Shared two-phase packing cumsum (ONE definition for
+    q_pack_sequences and q_pack_materialize — boundary semantics must
+    never diverge between them): per-bucket token totals → broadcast
+    offsets → within-bucket exclusive cumsum → bin_id. Returns
+    (doc_id, n_tokens, norm_text, bin_id); callers that don't select
+    norm_text get it pruned by Catalyst for free."""
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     tok = d.select(
         "doc_id",
-        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias(
-            "n_tokens"
-        ),
+        F.size(toks).alias("n_tokens"),
+        F.array_join(toks, " ").alias("norm_text"),
         F.floor(F.col("doc_id") / _PACK_BUCKET).alias("bkt"),
     )
     offsets = (
@@ -271,7 +265,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     win = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, -1
     )
-    packed = (
+    return (
         tok.join(F.broadcast(offsets), "bkt")
         .withColumn(
             "running",
@@ -280,7 +274,25 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn(
             "bin_id", F.floor(F.col("running") / _PACK_CAPACITY).cast("long")
         )
+        .select("doc_id", "n_tokens", "norm_text", "bin_id")
     )
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing — the step that turns a deduped corpus into
+    fixed-budget training rows: documents in doc_id order are laid
+    head-to-tail and cut into 2048-token bins (a doc spanning a
+    boundary belongs to the bin where it starts, exactly like a
+    streaming packer that lets sequences cross boundaries).
+
+    The global exclusive prefix-sum is computed SCALABLY — never one
+    giant window partition: per-bucket token totals (tiny aggregate)
+    give broadcast offsets, the within-bucket cumsum windows only over
+    its bucket. At 100 TB the bucket would be the range-partition id
+    from a sorted write; the two-phase shape is identical. Binning is
+    the shared _pack_binned helper (one definition with
+    pack_materialize)."""
+    packed = _pack_binned(_t(spark, sf_dir, "documents"))
     return (
         packed.groupBy("bin_id")
         .agg(
@@ -351,44 +363,9 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
     in order with an <eos> separator into ONE training row per bin.
     sort_array over (doc_id, text) structs makes the concatenation
     order deterministic — never collect_list luck; the only shuffle is
-    the groupBy(bin)."""
-    d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-    tok = d.select(
-        "doc_id",
-        F.array_join(toks, " ").alias("norm_text"),
-        F.size(toks).alias("n_tokens"),
-        F.floor(F.col("doc_id") / _PACK_BUCKET).alias("bkt"),
-    )
-    offsets = (
-        tok.groupBy("bkt")
-        .agg(F.sum("n_tokens").alias("bkt_tokens"))
-        .withColumn(
-            "offset",
-            F.coalesce(
-                F.sum("bkt_tokens").over(
-                    Window.orderBy("bkt").rowsBetween(
-                        Window.unboundedPreceding, -1
-                    )
-                ),
-                F.lit(0),
-            ),
-        )
-        .select("bkt", "offset")
-    )
-    win = Window.partitionBy("bkt").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    binned = (
-        tok.join(F.broadcast(offsets), "bkt")
-        .withColumn(
-            "running",
-            F.col("offset") + F.coalesce(F.sum("n_tokens").over(win), F.lit(0)),
-        )
-        .withColumn(
-            "bin_id", F.floor(F.col("running") / _PACK_CAPACITY).cast("long")
-        )
-    )
+    the groupBy(bin). Binning is the shared _pack_binned helper (one
+    definition with pack_sequences)."""
+    binned = _pack_binned(_t(spark, sf_dir, "documents"))
     return (
         binned.groupBy("bin_id")
         .agg(
@@ -759,6 +736,7 @@ def q_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaggle_ecommerce_etl_spark.sinks.jdbc import (
         DERBY_DRIVER,
         derby_memory_url,
+        is_missing_table_error,
         read_jdbc_partitioned,
         write_jdbc_append,
     )
@@ -777,7 +755,7 @@ def q_jdbc_partitioned_read(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         spark.read.jdbc(url=url, table="orders_pr", properties=props).schema
     except Exception as e:  # noqa: BLE001 — only MISSING table may load
-        if "does not exist" not in str(e).lower():
+        if not is_missing_table_error(e):
             raise
         write_jdbc_append(
             o, url, "orders_pr", properties=props,
@@ -807,14 +785,22 @@ def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     one number per partition. Per-status grouping localizes a
     mismatch to a partition of the keyspace."""
     o = _t(spark, sf_dir, "orders")
+
+    def _f(c):
+        # NULL-sentinel encoding: concat_ws silently DROPS null fields
+        # and their separators, which both collides distinct rows and
+        # diverges from the oracle's || chain (NULL row hash) — a
+        # checksum must encode nulls explicitly
+        return F.coalesce(c.cast("string"), F.lit("<NULL>"))
+
     row_repr = F.concat_ws(
         "|",
-        F.col("o_orderkey").cast("string"),
-        F.col("o_custkey").cast("string"),
-        F.col("o_orderstatus"),
-        F.col("o_totalprice").cast("decimal(18,2)").cast("string"),
-        F.date_format("o_orderdate", "yyyy-MM-dd"),
-        F.col("o_orderpriority"),
+        _f(F.col("o_orderkey")),
+        _f(F.col("o_custkey")),
+        _f(F.col("o_orderstatus")),
+        _f(F.col("o_totalprice").cast("decimal(18,2)")),
+        _f(F.date_format("o_orderdate", "yyyy-MM-dd")),
+        _f(F.col("o_orderpriority")),
     )
     h32 = F.conv(
         F.substring(F.md5(row_repr.cast("binary")), 1, 8), 16, 10
@@ -833,12 +819,13 @@ ORACLE_TABLE_CHECKSUM = """
 WITH h AS (
   SELECT o_orderstatus,
          ('0x' || substr(md5(
-            CAST(o_orderkey AS VARCHAR) || '|' ||
-            CAST(o_custkey AS VARCHAR) || '|' ||
-            o_orderstatus || '|' ||
-            CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR) || '|' ||
-            strftime(o_orderdate, '%Y-%m-%d') || '|' ||
-            o_orderpriority
+            COALESCE(CAST(o_orderkey AS VARCHAR), '<NULL>') || '|' ||
+            COALESCE(CAST(o_custkey AS VARCHAR), '<NULL>') || '|' ||
+            COALESCE(o_orderstatus, '<NULL>') || '|' ||
+            COALESCE(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                     '<NULL>') || '|' ||
+            COALESCE(strftime(o_orderdate, '%Y-%m-%d'), '<NULL>') || '|' ||
+            COALESCE(o_orderpriority, '<NULL>')
          ), 1, 8))::BIGINT AS h32
   FROM orders)
 SELECT o_orderstatus, COUNT(*) AS n_rows,

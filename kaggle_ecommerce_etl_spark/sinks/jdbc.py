@@ -36,6 +36,26 @@ DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 def derby_memory_url(name: str, create: bool = True) -> str:
     return f"jdbc:derby:memory:{name}" + (";create=true" if create else "")
 
+
+def is_missing_table_error(e: Exception) -> bool:
+    """True iff a JDBC read failure means the TABLE does not exist —
+    the only failure first-load paths may treat as 'empty'. Everything
+    else (connection refused, auth, permissions) must propagate, or an
+    upsert would silently disable dedup. One classifier for every
+    caller, covering the phrasings of Derby, Postgres, and Spark's own
+    analyzer."""
+    msg = str(e).lower()
+    return any(
+        pat in msg
+        for pat in (
+            "does not exist",        # Derby/Postgres phrasing
+            "not found",             # generic
+            "table_or_view_not_found",
+            "42x05",                 # Derby SQLState for missing table
+            "42p01",                 # Postgres SQLState for missing table
+        )
+    )
+
 #: Spark-SQL type → JDBC column type for createTableColumnTypes
 _JDBC_TYPES = {
     "string": "VARCHAR(255)",
@@ -164,22 +184,9 @@ def write_upsert_jdbc(
         existing = spark.read.jdbc(url=url, table=table, properties=props)
         existing.schema  # force resolution now — missing table raises here
     except Exception as e:  # noqa: BLE001
-        # ONLY a missing table counts as empty (first load creates it).
-        # Any other failure — connection refused, auth, permissions —
-        # must PROPAGATE: swallowing it would replace `existing` with
-        # an empty frame, disable the anti-join dedup, and append
-        # duplicates, silently breaking the DO-NOTHING contract.
-        msg = str(e).lower()
-        if not any(
-            pat in msg
-            for pat in (
-                "does not exist",      # Derby/Postgres phrasing
-                "not found",           # generic
-                "table_or_view_not_found",
-                "42x05",               # Derby SQLState for missing table
-                "42p01",               # Postgres SQLState for missing table
-            )
-        ):
+        # ONLY a missing table counts as empty (first load creates it);
+        # see is_missing_table_error for why anything else propagates.
+        if not is_missing_table_error(e):
             raise
         existing = spark.createDataFrame([], incoming.schema)
     to_append = upsert_anti_join(

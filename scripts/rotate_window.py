@@ -1,10 +1,14 @@
 """Propose the next round's DRIVER_WINDOW rotation.
 
-Reads every committed CORRECTNESS_r*.json (the driver-checked history),
-keeps the family anchors (tests/test_entry.py::test_driver_window_
-invariants), and fills the remaining slots with the oldest-added
-oracle-bearing queries that have never earned a driver-green row.
-Prints a ready-to-paste python tuple; the human still reviews it.
+Reads every committed CORRECTNESS_r*.json (repo-root anchored, so the
+script works from any cwd), counts a query as driver-checked only if
+its row was GREEN (rows/schema/hash all matched, no error), keeps the
+family anchors (queries.WINDOW_ANCHORS — the same source of truth the
+window-invariants test asserts), excludes the CURRENT window (its
+entries get checked this round), and fills the remaining slots with
+the oldest-added oracle-bearing queries that have never earned a
+driver-green row. Prints a ready-to-paste python tuple; the human
+still reviews it.
 
 Usage: python scripts/rotate_window.py
 """
@@ -16,40 +20,52 @@ import json
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
 
-from kaggle_ecommerce_etl_spark.queries import DRIVER_WINDOW, REGISTRY  # noqa: E402
+from kaggle_ecommerce_etl_spark.queries import (  # noqa: E402
+    DRIVER_WINDOW,
+    REGISTRY,
+    WINDOW_ANCHORS,
+)
 
-ANCHORS = [
-    "pricing_summary", "conflict_split_clean", "dedup_full_rows",
-    "tolerant_numeric", "date_normalize", "month_datetime",
-    "na_canonicalize", "pipeline_amazon_clean", "csv_roundtrip",
-    "upsert_roundtrip", "ddl_roundtrip", "events_tumbling",
-    "dedup_exact_docs", "minhash_signatures", "cosine_topk",
-    "multimodal_metadata",
-]
+
+def _green(row: dict) -> bool:
+    return (
+        row.get("rows_match")
+        and row.get("schema_match")
+        # rows-only entries carry no hash; missing hash_match is fine
+        and row.get("hash_match", True)
+        and not row.get("err")
+    )
 
 
 def main() -> None:
     checked: set[str] = set()
-    for f in sorted(glob.glob("CORRECTNESS_r*.json")):
-        checked |= set(json.load(open(f)))
+    for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        for name, row in json.load(open(f)).items():
+            if _green(row):
+                checked.add(name)
+    # the current window is ABOUT to be checked this round — exclude it
+    # from the pool or the same entries get re-proposed forever
+    checked |= set(DRIVER_WINDOW)
+    anchors = list(WINDOW_ANCHORS)
     never = [
         n
-        for n in REGISTRY  # registry order ≈ age (insertion order)
+        for n in REGISTRY
         if n not in checked and REGISTRY[n][1] is not None
-        and n not in ANCHORS
+        and n not in anchors
     ]
-    slots = 50 - len(ANCHORS)
-    window = ANCHORS + never[:slots]
+    slots = 50 - len(anchors)
+    window = anchors + never[:slots]
     if len(window) < 50:  # tail exhausted: backfill with oldest checked
         pool = [n for n in REGISTRY
                 if n not in window and REGISTRY[n][1] is not None]
         window += pool[: 50 - len(window)]
-    print(f"# {len(never)} never-checked remain; proposing {len(window)} slots")
+    print(f"# {len(never)} never-green remain; proposing {len(window)} slots")
     print("DRIVER_WINDOW = (")
     for n in window:
-        mark = "  # anchor" if n in ANCHORS else ""
+        mark = "  # anchor" if n in anchors else ""
         print(f'    "{n}",{mark}')
     print(")")
     unchanged = [n for n in window if n in DRIVER_WINDOW]

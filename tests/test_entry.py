@@ -40,25 +40,9 @@ def test_driver_window_invariants():
     assert len(DRIVER_WINDOW) == 50
     assert len(set(DRIVER_WINDOW)) == 50
     assert list(REGISTRY)[:50] == list(DRIVER_WINDOW)
-    anchors = {
-        # one per SURVEY §2 family — keep inside the window always
-        "pricing_summary",        # scan+agg
-        "conflict_split_clean",   # keyed conflict split (op 15)
-        "dedup_full_rows",        # op 14
-        "tolerant_numeric",       # ops 26-27
-        "date_normalize",         # op 28
-        "month_datetime",         # op 29
-        "na_canonicalize",        # op 30
-        "pipeline_amazon_clean",  # op 37 composition
-        "csv_roundtrip",          # ops 1/3/33/34
-        "upsert_roundtrip",       # ops 5/16
-        "ddl_roundtrip",          # op 6
-        "events_tumbling",        # streaming windows
-        "dedup_exact_docs",       # doc dedup
-        "minhash_signatures",     # minhash/LSH family
-        "cosine_topk",            # similarity
-        "multimodal_metadata",    # multimodal
-    }
+    from kaggle_ecommerce_etl_spark.queries import WINDOW_ANCHORS
+
+    anchors = set(WINDOW_ANCHORS)
     missing = anchors - set(DRIVER_WINDOW)
     assert not missing, f"family anchors rotated out: {missing}"
     # every window entry must carry an oracle (rows-only entries waste

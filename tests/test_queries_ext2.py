@@ -242,6 +242,29 @@ def test_table_checksum_order_independent(spark, sf_dir):
         q._t = orig_t
     assert again == base
 
+    # sensitivity: perturbing ONE cell must change exactly that status
+    # group's checksum (a checksum that never changes detects nothing)
+    def perturbed_t(spark_, sf_dir_, name):
+        df = orig_t(spark_, sf_dir_, name)
+        if name != "orders":
+            return df
+        return df.withColumn(
+            "o_totalprice",
+            F.when(F.col("o_orderkey") == 4, F.col("o_totalprice") + 1)
+            .otherwise(F.col("o_totalprice")),
+        )
+
+    try:
+        q._t = perturbed_t
+        tampered = {
+            r.o_orderstatus: r.checksum
+            for r in q2.q_table_checksum(spark, sf_dir).collect()
+        }
+    finally:
+        q._t = orig_t
+    changed = [s for s in base if tampered[s] != base[s]]
+    assert len(changed) == 1, (changed, base, tampered)
+
 
 def test_merge_upsert_semantics(spark, sf_dir):
     """Matched keys take the batch values; target-only and batch-only
