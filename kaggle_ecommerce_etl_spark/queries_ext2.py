@@ -775,6 +775,133 @@ FROM orders WHERE o_orderkey % 4 = 0
 """
 
 
+def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the data-ops answer to "what changed between
+    yesterday's load and today's": two table versions (v2 derived
+    deterministically: keys %7==0 deleted, %5==0 re-priced by an
+    FP-exact +10.00 — a *1.1 perturbation loses half-cent rounding
+    ties between engines — fresh keys appended) full-outer-join on the key and classify every row as
+    added / removed / changed / unchanged, reporting counts and a
+    value-delta control sum per class. ONE key shuffle; at 100 TB the
+    per-row compare would ride a content hash instead of the full
+    payload — same plan."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round("o_totalprice", 2).alias("total")
+    )
+    v1 = o.filter(F.col("o_orderkey") % 2 == 0)
+    v2_base = v1.filter(F.col("o_orderkey") % 7 != 0)  # deletions
+    v2 = v2_base.select(
+        "o_orderkey",
+        F.when(
+            F.col("o_orderkey") % 5 == 0, F.round(F.col("total") + 10, 2)
+        ).otherwise(F.col("total")).alias("total"),
+    ).unionByName(  # additions: odd keys %3==0
+        o.filter((F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0))
+    )
+    j = v1.alias("a").join(v2.alias("b"), "o_orderkey", "full_outer")
+    cls = (
+        F.when(F.col("a.total").isNull(), F.lit("added"))
+        .when(F.col("b.total").isNull(), F.lit("removed"))
+        .when(F.col("a.total") != F.col("b.total"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            cls.alias("change"),
+            F.coalesce("b.total", F.lit(0)).alias("new_total"),
+            F.coalesce("a.total", F.lit(0)).alias("old_total"),
+        )
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            _dsum(F.col("new_total") - F.col("old_total")).alias("delta"),
+        )
+        .orderBy("change")
+    )
+
+
+ORACLE_SNAPSHOT_DIFF = """
+WITH o AS (SELECT o_orderkey, round(o_totalprice, 2) AS total FROM orders),
+v1 AS (SELECT * FROM o WHERE o_orderkey % 2 = 0),
+v2 AS (
+  SELECT o_orderkey,
+         CASE WHEN o_orderkey % 5 = 0 THEN round(total + 10, 2)
+              ELSE total END AS total
+  FROM v1 WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey, total FROM o
+  WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0),
+j AS (
+  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+         a.total AS old_t, b.total AS new_t
+  FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+SELECT CASE WHEN old_t IS NULL THEN 'added'
+            WHEN new_t IS NULL THEN 'removed'
+            WHEN old_t <> new_t THEN 'changed'
+            ELSE 'unchanged' END AS change,
+       COUNT(*) AS n_rows,
+       CAST(round(SUM(CAST(COALESCE(new_t, 0) - COALESCE(old_t, 0)
+                           AS DECIMAL(23,8))), 2) AS DOUBLE) AS delta
+FROM j GROUP BY 1 ORDER BY 1
+"""
+
+
+def q_sessionize_dynamic_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization with a DYNAMIC, per-event gap —
+    ``session_window`` with an expression gap (purchase/signup events
+    hold a session open 30 minutes, everything else 10): the
+    engagement-weighted sessionization product analytics actually
+    ships, impossible with a fixed-gap window. Same single-shuffle
+    shape as the fixed-gap op; the oracle reproduces the semantics via
+    a running MAX of per-event session ends (an early long-gap event
+    can hold a session open across short-gap successors — a lag-only
+    restatement would split too eagerly)."""
+    ev = _t(spark, sf_dir, "events")
+    gap = F.when(
+        F.col("event_type").isin("purchase", "signup"),
+        F.lit("30 minutes"),
+    ).otherwise(F.lit("10 minutes"))
+    return (
+        ev.groupBy(
+            F.session_window(F.col("ts"), gap).alias("w"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+ORACLE_SESSIONIZE_DYNAMIC = """
+WITH g AS (
+  SELECT user_id, ts,
+         ts + CASE WHEN event_type IN ('purchase', 'signup')
+                   THEN INTERVAL 30 MINUTE
+                   ELSE INTERVAL 10 MINUTE END AS ts_end
+  FROM events),
+-- a session's extent is the RUNNING MAX of per-event ends, not the
+-- previous event's end: an early long-gap event can hold the session
+-- open across several short-gap successors
+marks AS (
+  SELECT user_id, ts,
+         CASE WHEN MAX(ts_end) OVER pre IS NULL
+                OR ts >= MAX(ts_end) OVER pre
+              THEN 1 ELSE 0 END AS new_session
+  FROM g
+  WINDOW pre AS (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marks)
+SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+FROM sessions GROUP BY user_id, sid
+"""
+
+
 def q_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Order-independent table checksum — the anti-entropy primitive
     for verifying a 100 TB replica/migration without sorting or
@@ -1800,6 +1927,11 @@ EXT2_REGISTRY = {
     "jdbc_partitioned_read": (
         q_jdbc_partitioned_read,
         ORACLE_JDBC_PARTITIONED,
+    ),
+    "snapshot_diff": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+    "sessionize_dynamic_gap": (
+        q_sessionize_dynamic_gap,
+        ORACLE_SESSIONIZE_DYNAMIC,
     ),
     "join_hints": (q_join_hints, ORACLE_JOIN_HINTS),
     "merge_upsert": (q_merge_upsert, ORACLE_MERGE_UPSERT),
