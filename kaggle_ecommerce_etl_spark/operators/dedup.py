@@ -46,6 +46,28 @@ def conflict_split(df: DataFrame, keys: Sequence[str]) -> tuple[DataFrame, DataF
     return clean, flagged
 
 
+def conflict_split_aggjoin(
+    df: DataFrame, keys: Sequence[str]
+) -> tuple[DataFrame, DataFrame]:
+    """Skew-immune variant of :func:`conflict_split`, identical
+    values: per-key counts via groupBy (map-side partial aggregation —
+    a hot key collapses to ONE partial per mapper before the shuffle,
+    so no single task ever sees all of its rows) joined back to the
+    table. The window formulation concentrates each key's full row set
+    in one task; at 100 TB with a pathological key this agg+join shape
+    is the one that survives. Costs one extra join vs the window's
+    single shuffle — pick per workload: window for well-distributed
+    keys, agg-join under skew (AQE handles the join side's skew)."""
+    counts = df.groupBy(*[qcol(k) for k in keys]).agg(
+        F.count(F.lit(1)).alias("__key_cnt")
+    )
+    # preserve the caller's column ORDER (a using-join fronts the keys)
+    joined = df.join(counts, list(keys)).select(*df.columns, "__key_cnt")
+    clean = joined.filter(F.col("__key_cnt") == 1).drop("__key_cnt")
+    flagged = joined.filter(F.col("__key_cnt") > 1).drop("__key_cnt")
+    return clean, flagged
+
+
 def upsert_anti_join(
     incoming: DataFrame,
     existing: DataFrame,

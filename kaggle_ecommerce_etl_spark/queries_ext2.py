@@ -775,6 +775,32 @@ FROM orders WHERE o_orderkey % 4 = 0
 """
 
 
+def q_conflict_split_flagged_aggjoin(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The skew-immune formulation of op 15's flagged side
+    (operators.dedup.conflict_split_aggjoin): values identical to
+    conflict_split_flagged — SAME oracle — but per-key counts come
+    from a map-side-combined groupBy joined back, so a pathological
+    hot key never concentrates its full row set in one window task.
+    The engine carries BOTH shapes; this entry keeps the skew-immune
+    one oracle-verified."""
+    from kaggle_ecommerce_etl_spark.operators.dedup import (
+        conflict_split_aggjoin,
+    )
+
+    _clean, flagged = conflict_split_aggjoin(
+        _t(spark, sf_dir, "lineitem"), ["l_orderkey"]
+    )
+    return flagged
+
+
+def _oracle_conflict_flagged() -> str:
+    from kaggle_ecommerce_etl_spark.queries import _oracle_conflict
+
+    return _oracle_conflict(">")
+
+
 def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot diff — the data-ops answer to "what changed between
     yesterday's load and today's": two table versions (v2 derived
@@ -1929,6 +1955,10 @@ EXT2_REGISTRY = {
         ORACLE_JDBC_PARTITIONED,
     ),
     "snapshot_diff": (q_snapshot_diff, ORACLE_SNAPSHOT_DIFF),
+    "conflict_split_flagged_aggjoin": (
+        q_conflict_split_flagged_aggjoin,
+        _oracle_conflict_flagged(),
+    ),
     "sessionize_dynamic_gap": (
         q_sessionize_dynamic_gap,
         ORACLE_SESSIONIZE_DYNAMIC,
