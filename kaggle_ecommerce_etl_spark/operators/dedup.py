@@ -57,7 +57,9 @@ def conflict_split_aggjoin(
     in one task; at 100 TB with a pathological key this agg+join shape
     is the one that survives. Costs one extra join vs the window's
     single shuffle — pick per workload: window for well-distributed
-    keys, agg-join under skew (AQE handles the join side's skew)."""
+    keys, agg-join under skew (AQE handles the join side's skew).
+    Measured insurance cost at sf0.1, min-of-3: 0.72 s vs the
+    window's 0.64 s — ~13% on uniform keys."""
     counts = df.groupBy(*[qcol(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("__key_cnt")
     )
