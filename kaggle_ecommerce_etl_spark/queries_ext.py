@@ -1906,13 +1906,16 @@ def q_streaming_upsert_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _publish_fixture_dir(src_dir, _build)
 
-    target = tempfile.mkdtemp(prefix="upsert_tgt_")
-    shutil.rmtree(target, ignore_errors=True)
+    # unique parent, never-pre-created child: no delete-then-recreate
+    # window (same pattern as the medallion chain)
+    target = tempfile.mkdtemp(prefix="upsert_tgt_") + "/tgt"
 
     def _apply(batch: DataFrame, _bid: int) -> None:
-        try:
+        if os.path.exists(target):
+            # a real read failure must PROPAGATE — swallowing it would
+            # silently disable dedup and append duplicates
             existing = spark.read.parquet(target)
-        except Exception:  # first batch: target doesn't exist yet
+        else:  # first batch: target doesn't exist yet
             existing = batch.sparkSession.createDataFrame([], batch.schema)
         upsert_anti_join(batch, existing, ["o_orderkey"]).write.mode(
             "append"
