@@ -217,6 +217,32 @@ def test_jdbc_partitioned_read_parallelism(spark, sf_dir):
     assert df.count() == expect
 
 
+def test_jdbc_partitioned_read_bounds_never_drop_rows(spark, sf_dir):
+    """Spark's stride bounds only shape partition sizes: rows OUTSIDE
+    [lowerBound, upperBound) must still be read (first/last strides
+    are unbounded)."""
+    from kaggle_ecommerce_etl_spark.queries_ext import _fixture_tag
+    from kaggle_ecommerce_etl_spark.sinks.jdbc import (
+        DERBY_DRIVER,
+        derby_memory_url,
+        read_jdbc_partitioned,
+    )
+
+    # reuse the table q_jdbc_partitioned_read loaded (same tag recipe)
+    q2.q_jdbc_partitioned_read(spark, sf_dir).count()
+    url = derby_memory_url(
+        "pr_" + _fixture_tag("jdbcpr:v1", sf_dir, "orders")
+    )
+    narrow = read_jdbc_partitioned(
+        spark, url, "orders_pr",
+        partition_column="o_orderkey",
+        lower_bound=100, upper_bound=200, num_partitions=3,
+        properties={"driver": DERBY_DRIVER},
+    )
+    full = q2.q_jdbc_partitioned_read(spark, sf_dir)
+    assert narrow.count() == full.count()
+
+
 def test_table_checksum_order_independent(spark, sf_dir):
     """The checksum must be invariant under repartitioning (the whole
     point), and sensitive to a single changed cell."""
