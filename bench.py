@@ -64,6 +64,10 @@ EXTRA = [
     "token_rarity",
     "cust_order_distribution",
     "late_supplier_blame",
+    "rolling_features",
+    "interpolate_ts",
+    "snapshot_diff",
+    "variant_shred",
 ]
 
 
