@@ -356,8 +356,16 @@ def dup_clusters(
         changed = doubled.filter(F.col("__changed")).limit(1).count()
         labels = doubled.drop("__changed")
         if changed == 0:
-            break
-    return labels
+            return labels
+    # Exhausting max_iter without a fixpoint means the labels are NOT
+    # components yet — returning them silently would hand callers a
+    # wrong dedup decision. With pointer doubling, max_iter=20 covers
+    # component diameters up to ~2^19, so this firing means the input
+    # graph is nothing like near-dup data (or max_iter was lowered).
+    raise ValueError(
+        f"dup_clusters did not converge within max_iter={max_iter} "
+        "rounds; raise max_iter for graphs with extreme diameter"
+    )
 
 
 def jaccard_pairs_prefix(

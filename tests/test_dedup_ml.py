@@ -145,3 +145,24 @@ def test_max_df_cap_prunes_hot_token(spark):
     assert capped[(3, 4)] == 1.0
     # no phantom pairs: every capped pair exists uncapped too
     assert set(capped) < set(uncapped)
+
+
+def test_dup_clusters_long_path_converges_logarithmically(spark):
+    """Worst-case diameter: a 60-node PATH graph (near-dup data is
+    near-cliques, a path is the adversarial shape). Pointer doubling
+    must label every node with the path's minimum well inside the
+    default round cap — and a tiny cap must raise instead of silently
+    returning partial labels."""
+    import pytest
+
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import dup_clusters
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(60)], "id1 long, id2 long"
+    )
+    labels = {r.id: r.cluster for r in dup_clusters(pairs).collect()}
+    assert set(labels) == set(range(61))
+    assert set(labels.values()) == {0}
+
+    with pytest.raises(ValueError, match="did not converge"):
+        dup_clusters(pairs, max_iter=2)
