@@ -60,11 +60,26 @@ def conflict_split_aggjoin(
     keys, agg-join under skew (AQE handles the join side's skew).
     Measured insurance cost at sf0.1, min-of-3: 0.72 s vs the
     window's 0.64 s — ~13% on uniform keys."""
+    def _q(prefix: str, name: str):
+        return F.col(prefix + ".`" + name.replace("`", "``") + "`")
+
     counts = df.groupBy(*[qcol(k) for k in keys]).agg(
         F.count(F.lit(1)).alias("__key_cnt")
     )
-    # preserve the caller's column ORDER (a using-join fronts the keys)
-    joined = df.join(counts, list(keys)).select(*df.columns, "__key_cnt")
+    a, b = df.alias("__l"), counts.alias("__r")
+    # NULL-SAFE equality: groupBy puts NULL keys in one group, and the
+    # join must match them back (a plain equi-join would silently drop
+    # NULL-keyed rows from BOTH outputs, breaking value-parity with
+    # conflict_split); quoted references keep raw-CSV headers
+    # ('Design No.') working exactly as the window variant does
+    cond = None
+    for k in keys:
+        c = _q("__l", k).eqNullSafe(_q("__r", k))
+        cond = c if cond is None else cond & c
+    # preserve the caller's column ORDER and side (no key fronting)
+    joined = a.join(b, cond).select(
+        *[_q("__l", c) for c in df.columns], F.col("__r.__key_cnt")
+    )
     clean = joined.filter(F.col("__key_cnt") == 1).drop("__key_cnt")
     flagged = joined.filter(F.col("__key_cnt") > 1).drop("__key_cnt")
     return clean, flagged

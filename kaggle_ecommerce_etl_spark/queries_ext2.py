@@ -824,18 +824,25 @@ def q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).unionByName(  # additions: odd keys %3==0
         o.filter((F.col("o_orderkey") % 2 == 1) & (F.col("o_orderkey") % 3 == 0))
     )
-    j = v1.alias("a").join(v2.alias("b"), "o_orderkey", "full_outer")
+    # classify on KEY presence, never payload NULL-ness: a row whose
+    # total is legitimately NULL in one version must not masquerade as
+    # added/removed
+    a = v1.select(F.col("o_orderkey").alias("ka"), F.col("total").alias("old_t"))
+    b = v2.select(F.col("o_orderkey").alias("kb"), F.col("total").alias("new_t"))
+    j = a.join(b, a.ka == b.kb, "full_outer")
     cls = (
-        F.when(F.col("a.total").isNull(), F.lit("added"))
-        .when(F.col("b.total").isNull(), F.lit("removed"))
-        .when(F.col("a.total") != F.col("b.total"), F.lit("changed"))
+        F.when(F.col("ka").isNull(), F.lit("added"))
+        .when(F.col("kb").isNull(), F.lit("removed"))
+        .when(
+            ~F.col("old_t").eqNullSafe(F.col("new_t")), F.lit("changed")
+        )
         .otherwise(F.lit("unchanged"))
     )
     return (
         j.select(
             cls.alias("change"),
-            F.coalesce("b.total", F.lit(0)).alias("new_total"),
-            F.coalesce("a.total", F.lit(0)).alias("old_total"),
+            F.coalesce("new_t", F.lit(0)).alias("new_total"),
+            F.coalesce("old_t", F.lit(0)).alias("old_total"),
         )
         .groupBy("change")
         .agg(
@@ -858,12 +865,12 @@ v2 AS (
   SELECT o_orderkey, total FROM o
   WHERE o_orderkey % 2 = 1 AND o_orderkey % 3 = 0),
 j AS (
-  SELECT COALESCE(a.o_orderkey, b.o_orderkey) AS k,
+  SELECT a.o_orderkey AS ka, b.o_orderkey AS kb,
          a.total AS old_t, b.total AS new_t
   FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
-SELECT CASE WHEN old_t IS NULL THEN 'added'
-            WHEN new_t IS NULL THEN 'removed'
-            WHEN old_t <> new_t THEN 'changed'
+SELECT CASE WHEN ka IS NULL THEN 'added'
+            WHEN kb IS NULL THEN 'removed'
+            WHEN old_t IS DISTINCT FROM new_t THEN 'changed'
             ELSE 'unchanged' END AS change,
        COUNT(*) AS n_rows,
        CAST(round(SUM(CAST(COALESCE(new_t, 0) - COALESCE(old_t, 0)

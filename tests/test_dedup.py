@@ -90,3 +90,23 @@ def test_upsert_within_batch_duplicate_keys(spark):
     # without order_by: still exactly one row per key (arbitrary pick)
     out2 = upsert_anti_join(batch, empty, ["order_id", "date"])
     assert out2.count() == 2
+
+
+def test_conflict_split_aggjoin_parity_with_nulls_and_special_headers(spark):
+    """The skew-immune variant must match the window variant row-for-
+    row INCLUDING NULL keys (null-safe join) and raw-CSV special
+    headers (quoted references)."""
+    from kaggle_ecommerce_etl_spark.operators.dedup import (
+        conflict_split,
+        conflict_split_aggjoin,
+    )
+
+    df = spark.createDataFrame(
+        [(None, "a"), (None, "b"), (1, "c"), (1, "d"), (2, "e")],
+        "k int, v string",
+    ).toDF("Design No.", "v")
+    wc, wf = conflict_split(df, ["Design No."])
+    ac, af = conflict_split_aggjoin(df, ["Design No."])
+    assert sorted(r.v for r in wc.collect()) == sorted(r.v for r in ac.collect())
+    assert sorted(r.v for r in wf.collect()) == sorted(r.v for r in af.collect())
+    assert af.columns == df.columns

@@ -228,8 +228,8 @@ def test_jdbc_partitioned_read_bounds_never_drop_rows(spark, sf_dir):
         read_jdbc_partitioned,
     )
 
-    # reuse the table q_jdbc_partitioned_read loaded (same tag recipe)
-    q2.q_jdbc_partitioned_read(spark, sf_dir).count()
+    # the call loads the Derby table eagerly (same tag recipe)
+    full = q2.q_jdbc_partitioned_read(spark, sf_dir)
     url = derby_memory_url(
         "pr_" + _fixture_tag("jdbcpr:v1", sf_dir, "orders")
     )
@@ -239,7 +239,6 @@ def test_jdbc_partitioned_read_bounds_never_drop_rows(spark, sf_dir):
         lower_bound=100, upper_bound=200, num_partitions=3,
         properties={"driver": DERBY_DRIVER},
     )
-    full = q2.q_jdbc_partitioned_read(spark, sf_dir)
     assert narrow.count() == full.count()
 
 
