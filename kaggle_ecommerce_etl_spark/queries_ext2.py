@@ -1998,3 +1998,27 @@ def _push_into_ext() -> None:
 
 
 _push_into_ext()
+
+
+def _append_ext3() -> None:
+    # bottom import: queries_ext3 needs queries_ext helpers plus this
+    # module's _format_fixture, all defined by now. Same mid-import
+    # guard as queries_ext._append_ext2: if queries_ext3 is the module
+    # being imported right now (a caller imported IT first and it
+    # pulled us in), skip — its own bottom-of-module push completes
+    # the merge once EXT3_REGISTRY exists.
+    import sys
+
+    mod = sys.modules.get("kaggle_ecommerce_etl_spark.queries_ext3")
+    if mod is not None and not hasattr(mod, "EXT3_REGISTRY"):
+        return
+    from kaggle_ecommerce_etl_spark.queries_ext3 import EXT3_REGISTRY
+
+    from kaggle_ecommerce_etl_spark import queries as _q
+    from kaggle_ecommerce_etl_spark import queries_ext as _qx
+
+    _qx.EXT_REGISTRY.update(EXT3_REGISTRY)
+    _q._merge_extensions()
+
+
+_append_ext3()

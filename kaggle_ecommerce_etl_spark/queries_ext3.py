@@ -1,0 +1,361 @@
+"""Fourth query wave: the Spark-4 engine features the registry did not
+yet exercise — recursive CTEs (iterative closure inside Catalyst, not a
+driver loop), correlated LATERAL subqueries, bounded-memory frequency
+and distinct-count sketches (approx_top_k, HyperLogLog, Theta) with
+exactness GATES the oracle can check, ordered listagg, rank-bounded
+approximate quantiles, and line-oriented text corpus IO (the format
+every shell-tool corpus pipeline speaks).
+
+Sketch-gate pattern: a sketch estimate itself is engine-specific and
+can never hash-match a DuckDB oracle. Instead the query returns the
+EXACT answer (computed distributively alongside the sketch) plus a
+boolean asserting the sketch landed within its documented error bound;
+the oracle returns the exact answer and TRUE. A sketch drifting out of
+tolerance flips the flag and fails the gate — the sketch is on the
+correctness surface instead of rows-only.
+
+Reference parity: the reference engine (eager pandas, profile step in
+transform.py) has no sketch/recursive surface — this module is part of
+SURVEY §2's "training-data pipeline at 100 TB" mandate, where
+bounded-memory sketches replace exact global aggregates.
+
+Same determinism rules as queries.py: rounded doubles, total-order
+tiebreaks, aliases matching the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.queries_ext import _t
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> str:
+    """Register ``name`` as a prefixed temp view for spark.sql text and
+    return the view name. Re-registered on every call so a session
+    that switches sf_dir never reads a stale path."""
+    v = f"__ext3_{name}"
+    _t(spark, sf_dir, name).createOrReplaceTempView(v)
+    return v
+
+
+# --------------------------------------------------------------------------
+# recursive CTE: iterative closure executed INSIDE the engine
+# --------------------------------------------------------------------------
+
+#: Shared SQL body — Spark runs it over the prefixed temp view, DuckDB
+#: over its registered ``supplier`` view; identical text otherwise, so
+#: the parity claim is the literal query string.
+_RECURSIVE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT s_suppkey AS child, CAST(FLOOR(s_suppkey / 10) AS BIGINT) AS parent
+  FROM {supplier} WHERE s_suppkey > 0
+),
+anc(node, anc, depth) AS (
+  SELECT child, parent, 1 FROM edges
+  UNION ALL
+  SELECT a.node, e.parent, a.depth + 1
+  FROM anc a JOIN edges e ON a.anc = e.child
+)
+SELECT depth, COUNT(*) AS n_paths,
+       CAST(SUM(node) AS BIGINT) AS sum_node,
+       CAST(SUM(anc) AS BIGINT) AS sum_anc
+FROM anc GROUP BY depth ORDER BY depth
+"""
+
+
+def q_recursive_ancestors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive ancestor closure via WITH RECURSIVE (Spark 4 native
+    recursion — the UnionLoop operator iterates inside the engine, no
+    driver-side loop and no bounded-depth unroll like
+    hierarchy_rollup's). The supplier tree is synthetic
+    (parent = ⌊key/10⌋, decimal-trie shape, depth ≤ log₁₀ max-key) so
+    recursion depth stays O(log n) at ANY scale; each iteration is one
+    shuffle join of the frontier against the edge table. Aggregated
+    per path depth so the output is O(depth) rows regardless of SF."""
+    sup = _view(spark, sf_dir, "supplier")
+    return spark.sql(_RECURSIVE_SQL.format(supplier=sup))
+
+
+ORACLE_RECURSIVE_ANCESTORS = _RECURSIVE_SQL.format(supplier="supplier")
+
+
+# --------------------------------------------------------------------------
+# correlated LATERAL subquery
+# --------------------------------------------------------------------------
+
+_LATERAL_SQL = """
+SELECT c.c_custkey, o.o_orderkey, o.total
+FROM {customer} c,
+LATERAL (SELECT o_orderkey, round(o_totalprice, 2) AS total
+         FROM {orders}
+         WHERE o_custkey = c.c_custkey
+         ORDER BY o_totalprice DESC, o_orderkey
+         LIMIT 2) o
+WHERE c.c_custkey % 50 = 0
+"""
+
+
+def q_lateral_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer top-2 orders as a correlated LATERAL subquery — the
+    declarative spelling of topk_per_group. Catalyst decorrelates the
+    LATERAL into a ranked window over one shuffle on o_custkey (it
+    never executes per-row subqueries), so the plan is the same
+    scale-shape as the explicit-window variant; keeping both on the
+    surface pins the decorrelation rewrite itself as tested engine
+    behavior. Deterministic: total order inside the LATERAL
+    (o_totalprice DESC, o_orderkey)."""
+    cust = _view(spark, sf_dir, "customer")
+    orders = _view(spark, sf_dir, "orders")
+    return spark.sql(_LATERAL_SQL.format(customer=cust, orders=orders))
+
+
+ORACLE_LATERAL_TOPK = _LATERAL_SQL.format(customer="customer", orders="orders")
+
+
+# --------------------------------------------------------------------------
+# bounded-memory sketches with exactness gates
+# --------------------------------------------------------------------------
+
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency heavy hitters over the token stream via approx_top_k —
+    the bounded-memory path to "which tokens exceed 2% of the corpus".
+    Support-s hitters number at most 1/s, so k=64 ≥ 1/0.02 guarantees
+    every true hitter is inside the returned top-k whenever the
+    tracked-item budget (65536) covers the live vocabulary; the
+    companion pytest asserts the fixture vocab stays far below that
+    budget, which is what makes the DuckDB exact-count oracle valid at
+    test scale. At 100 TB the same plan degrades gracefully to
+    approximate counts in O(65536) memory per partial aggregate
+    instead of a full |vocab| hash table. One shuffle (single global
+    aggregate); the token explode rides the scan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    sk = toks.agg(
+        F.expr("approx_top_k(token, 64, 65536)").alias("tk"),
+        F.count(F.lit(1)).alias("total"),
+    )
+    hits = sk.select(
+        F.explode("tk").alias("h"), "total"
+    ).select(
+        F.col("h.item").alias("token"),
+        F.col("h.count").alias("n"),
+        "total",
+    ).filter(F.col("n") * 50 > F.col("total"))
+    return hits.select(
+        "token", "n", F.round(F.col("n") / F.col("total"), 6).alias("share")
+    ).orderBy(F.desc("n"), "token")
+
+
+ORACLE_HEAVY_HITTERS = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+t AS (SELECT token FROM toks WHERE token <> ''),
+counted AS (
+  SELECT token, COUNT(*) AS n, (SELECT COUNT(*) FROM t) AS total
+  FROM t GROUP BY token
+)
+SELECT token, n, round(n / CAST(total AS DOUBLE), 6) AS share
+FROM counted WHERE n * 50 > total
+ORDER BY n DESC, token
+"""
+
+
+def q_hll_distinct_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: exact COUNT(DISTINCT) alongside a
+    Datasketches HyperLogLog estimate, gated to ±5 % (lgConfigK=12 ⇒
+    ~1.6 % standard error, so the gate holds with wide margin unless
+    the sketch path breaks). At 100 TB the HLL column is the viable
+    plan — fixed 2^12-register state per group per partial aggregate,
+    mergeable without re-scan — while COUNT(DISTINCT) pays a full
+    shuffle of the distinct pairs; the gate keeps the sketch honest
+    where both are still computable."""
+    ev = _t(spark, sf_dir, "events")
+    agg = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("n_exact"),
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("est"),
+    )
+    ok = (
+        F.abs(F.col("est") - F.col("n_exact"))
+        <= F.lit(0.05) * F.col("n_exact")
+    )
+    return agg.select(
+        "event_type", "n_exact", ok.alias("estimate_ok")
+    ).orderBy("event_type")
+
+
+ORACLE_HLL_GATE = """
+SELECT event_type, COUNT(DISTINCT user_id) AS n_exact, TRUE AS estimate_ok
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_theta_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-partition distinct-count via Theta sketch UNION: per-source
+    sketches of document fingerprints are union-merged into one global
+    estimate — the mergeable-summary pattern that computes "distinct
+    docs across 1000 shards" without re-shuffling raw keys (each shard
+    ships a KB-scale sketch, not its key set). Gated ±5 % against the
+    exact global distinct; one row out."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("source", F.md5(F.col("text")).alias("fp"))
+    per_source = fp.groupBy("source").agg(
+        F.expr("theta_sketch_agg(fp)").alias("sk")
+    )
+    merged = per_source.agg(
+        F.expr("theta_sketch_estimate(theta_union_agg(sk))").alias("est")
+    )
+    exact = fp.agg(F.count_distinct("fp").alias("n_exact"))
+    out = exact.crossJoin(merged)  # two 1-row frames
+    ok = (
+        F.abs(F.col("est") - F.col("n_exact"))
+        <= F.lit(0.05) * F.col("n_exact")
+    )
+    return out.select("n_exact", ok.alias("union_ok"))
+
+
+ORACLE_THETA_GATE = """
+SELECT COUNT(DISTINCT md5(text)) AS n_exact, TRUE AS union_ok
+FROM documents
+"""
+
+
+def q_approx_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-priority order-value median: exact interpolated percentile
+    next to percentile_approx (GK sketch, accuracy 50000), gated to
+    ±5 %. The approx path returns an OBSERVED value at the target rank
+    (no interpolation), so the gate tolerance covers both the rank
+    error (≤ n/50000 positions) and the adjacent-value gap at small n.
+    At 100 TB the sketch is the only viable plan — bounded state,
+    mergeable partials — while exact percentile must materialize each
+    group's sorted values."""
+    o = _t(spark, sf_dir, "orders")
+    agg = o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+            "median_exact"
+        ),
+        F.expr("percentile_approx(o_totalprice, 0.5, 50000)").alias("ma"),
+    )
+    ok = (
+        F.abs(F.col("ma") - F.col("median_exact"))
+        <= F.lit(0.05) * F.col("median_exact")
+    )
+    return agg.select(
+        "o_orderpriority", "median_exact", ok.alias("approx_ok")
+    ).orderBy("o_orderpriority")
+
+
+ORACLE_APPROX_QUANTILE = """
+SELECT o_orderpriority,
+       round(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
+       TRUE AS approx_ok
+FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------------
+# ordered string aggregation
+# --------------------------------------------------------------------------
+
+def q_listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered LISTAGG ... WITHIN GROUP (ANSI 2016, Spark 4 native) —
+    the report-building string fold. Inherently a small-group op (the
+    result row carries the whole group); applied to the nation/region
+    dims where groups are O(5). Broadcast join, one tiny shuffle."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    joined = n.join(
+        F.broadcast(r), n.n_regionkey == r.r_regionkey
+    )
+    return (
+        joined.groupBy("r_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations_csv"),
+        )
+        .orderBy("r_name")
+    )
+
+
+ORACLE_LISTAGG = """
+SELECT r_name, COUNT(*) AS n_nations,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name ORDER BY r_name
+"""
+
+
+# --------------------------------------------------------------------------
+# line-oriented text corpus IO
+# --------------------------------------------------------------------------
+
+def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-oriented text sink → source round-trip: documents serialized
+    one-per-line as ``doc_id<TAB>lang<TAB>text`` (the format sed/awk/
+    sort corpus tooling consumes), written distributed, read back with
+    spark.read.text and field-split with a bounded split (limit 3, so
+    tabs INSIDE the text survive as part of the last field). Docs
+    containing a newline cannot live on one line — both sides exclude
+    them identically (zero in this corpus; the guard is the contract).
+    Row-level output (id, lang, recomputed char length) so any
+    line-splitting corruption hash-fails."""
+    from kaggle_ecommerce_etl_spark.queries_ext2 import _format_fixture
+    from kaggle_ecommerce_etl_spark.queries_ext import _publish_fixture_dir
+
+    d = _t(spark, sf_dir, "documents").filter(
+        ~F.col("text").contains("\n")
+    )
+    lines = d.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text")
+        .alias("value")
+    )
+    path = _format_fixture(sf_dir, "docs_text", "documents")
+
+    def _build(stage: str) -> None:
+        lines.repartition(4).write.mode("overwrite").text(stage)
+
+    _publish_fixture_dir(path, _build)
+    raw = spark.read.option("pathGlobFilter", "part-*").text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    return raw.select(
+        parts.getItem(0).cast("bigint").alias("doc_id"),
+        parts.getItem(1).alias("lang"),
+        F.length(parts.getItem(2)).alias("n_chars_rt"),
+    )
+
+
+ORACLE_TEXT_ROUNDTRIP = """
+SELECT doc_id, lang, length(text) AS n_chars_rt
+FROM documents WHERE strpos(text, chr(10)) = 0
+"""
+
+
+EXT3_REGISTRY = {
+    "recursive_ancestors": (q_recursive_ancestors, ORACLE_RECURSIVE_ANCESTORS),
+    "lateral_topk_orders": (q_lateral_topk_orders, ORACLE_LATERAL_TOPK),
+    "heavy_hitters": (q_heavy_hitters, ORACLE_HEAVY_HITTERS),
+    "hll_distinct_gate": (q_hll_distinct_gate, ORACLE_HLL_GATE),
+    "theta_union_gate": (q_theta_union_gate, ORACLE_THETA_GATE),
+    "approx_quantile_gate": (q_approx_quantile_gate, ORACLE_APPROX_QUANTILE),
+    "listagg_nations": (q_listagg_nations, ORACLE_LISTAGG),
+    "text_roundtrip": (q_text_roundtrip, ORACLE_TEXT_ROUNDTRIP),
+}
+
+
+def _push_into_ext() -> None:
+    """Import-order-proof merge (mirrors queries_ext2._push_into_ext)."""
+    from kaggle_ecommerce_etl_spark import queries as _q
+    from kaggle_ecommerce_etl_spark import queries_ext as _qx
+
+    _qx.EXT_REGISTRY.update(EXT3_REGISTRY)
+    _q._merge_extensions()
+
+
+_push_into_ext()

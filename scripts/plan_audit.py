@@ -56,6 +56,10 @@ BNLJ_OK = {
     # block), not raw rows — the n² lives inside bounded numpy
     # batches, and block counts are small by construction.
     "embedding_nearest": "block-pair cross of coarse matmul blocks",
+    # exact-distinct (1 row) × theta-union-estimate (1 row): joining
+    # the two scalar aggregates for the gate comparison — both sides
+    # are single-row by construction at any scale.
+    "theta_union_gate": "1-row exact × 1-row sketch-estimate gate join",
 }
 
 #: queries allowed Arrow-batched python nodes (the documented

@@ -1,0 +1,181 @@
+"""Tests for the fourth query wave (queries_ext3.py).
+
+Value-level parity vs DuckDB is covered by scripts/check_oracle.py and
+the driver's t2 gate; these tests assert the invariants the oracle hash
+can't articulate: the heavy-hitter exactness PRECONDITION (vocab under
+the sketch's tracked-item budget), the sketch gates actually measuring
+estimates (not hard-coded TRUE), recursion reaching depth > 1 (the
+closure is genuinely iterative), LATERAL decorrelation (no per-row
+subquery / no cartesian in the physical plan), and text round-trip
+surviving a tab INSIDE a document body.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark import queries_ext3 as q3
+from kaggle_ecommerce_etl_spark.queries import REGISTRY
+
+
+def test_ext3_registry_merged():
+    for name in q3.EXT3_REGISTRY:
+        assert name in REGISTRY
+        fn, oracle = REGISTRY[name]
+        assert callable(fn) and isinstance(oracle, str)
+
+
+def test_heavy_hitters_vocab_within_sketch_budget(spark, sf_dir):
+    """approx_top_k(…, 64, 65536) returns EXACT counts only while the
+    live vocabulary fits the tracked-item budget — the precondition
+    that makes the exact-count oracle valid. Assert it holds with a
+    wide margin at test scale (the synthetic corpus draws from a small
+    wordlist)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (
+        d.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("t"))
+        .filter(F.col("t") != "")
+        .select("t")
+        .distinct()
+        .count()
+    )
+    assert vocab < 65536 // 4, vocab
+
+
+def test_heavy_hitters_support_floor(spark, sf_dir):
+    rows = q3.q_heavy_hitters(spark, sf_dir).collect()
+    assert rows, "fixture corpus must produce at least one 2% hitter"
+    # support floor: every returned token exceeds 2% of the stream
+    assert all(r.share > 0.02 for r in rows)
+    # descending count with token tiebreak
+    key = [(-r.n, r.token) for r in rows]
+    assert key == sorted(key)
+
+
+def test_hll_gate_measures_estimate(spark, sf_dir):
+    """The gate column must be a genuine |est − exact| comparison: all
+    flags true on the fixture (HLL error ≪ 5%), and the exact side
+    matches count_distinct computed independently."""
+    rows = {r.event_type: r for r in q3.q_hll_distinct_gate(spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r.n
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(rows) == set(exact)
+    for et, r in rows.items():
+        assert r.n_exact == exact[et]
+        assert r.estimate_ok is True
+
+
+def test_theta_union_gate_single_row(spark, sf_dir):
+    rows = q3.q_theta_union_gate(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    exact = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert r.n_exact == exact
+    assert r.union_ok is True
+
+
+def test_approx_quantile_gate_all_ok(spark, sf_dir):
+    rows = q3.q_approx_quantile_gate(spark, sf_dir).collect()
+    assert rows and all(r.approx_ok is True for r in rows)
+    assert all(r.median_exact > 0 for r in rows)
+
+
+def test_recursive_ancestors_depth(spark, sf_dir):
+    """The closure must actually iterate: path count at depth d equals
+    the number of suppliers whose key has d+ decimal digits above the
+    root (parent = ⌊key/10⌋ trie), and depth-1 paths equal the edge
+    count (all suppliers with key > 0)."""
+    rows = {r.depth: r for r in q3.q_recursive_ancestors(spark, sf_dir).collect()}
+    n_sup = (
+        spark.read.parquet(f"{sf_dir}/supplier.parquet")
+        .filter(F.col("s_suppkey") > 0)
+        .count()
+    )
+    assert rows[1].n_paths == n_sup
+    if n_sup > 9:  # keys reach 2+ digits → depth 2 must exist
+        assert 2 in rows
+        assert rows[2].n_paths < rows[1].n_paths
+
+
+def test_lateral_topk_decorrelated_plan(spark, sf_dir):
+    """Catalyst must decorrelate the LATERAL into a window/join shape —
+    a surviving per-row subquery would show as CartesianProduct or
+    BroadcastNestedLoopJoin in the physical plan."""
+    df = q3.q_lateral_topk_orders(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    rows = df.collect()
+    # ≤2 orders per customer, ordered total-desc inside each customer
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.c_custkey].append(r.total)
+    for totals in per.values():
+        assert len(totals) <= 2
+        assert totals == sorted(totals, reverse=True)
+
+
+def test_listagg_ordered_within_group(spark, sf_dir):
+    rows = q3.q_listagg_nations(spark, sf_dir).collect()
+    for r in rows:
+        names = r.nations_csv.split(",")
+        assert len(names) == r.n_nations
+        assert names == sorted(names)
+
+
+def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
+    """A tab INSIDE the text body must survive the line round-trip: the
+    reader splits with limit 3, so only the first two tabs delimit
+    fields and the rest belong to the payload."""
+    from kaggle_ecommerce_etl_spark.queries_ext import _publish_fixture_dir
+
+    df = spark.createDataFrame(
+        [(1, "en", "alpha\tbeta gamma"), (2, "fr", "plain text")],
+        "doc_id bigint, lang string, text string",
+    )
+    lines = df.select(
+        F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text").alias(
+            "value"
+        )
+    )
+    path = str(tmp_path / "docs_text")
+
+    def _build(stage: str) -> None:
+        lines.coalesce(1).write.mode("overwrite").text(stage)
+
+    _publish_fixture_dir(path, _build)
+    raw = spark.read.option("pathGlobFilter", "part-*").text(path)
+    parts = F.split(F.col("value"), "\t", 3)
+    back = {
+        r.doc_id: r.text
+        for r in raw.select(
+            parts.getItem(0).cast("bigint").alias("doc_id"),
+            parts.getItem(2).alias("text"),
+        ).collect()
+    }
+    assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
+
+
+def test_text_roundtrip_row_parity(spark, sf_dir):
+    got = q3.q_text_roundtrip(spark, sf_dir)
+    src = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        ~F.col("text").contains("\n")
+    )
+    assert got.count() == src.count()
+    # recomputed length matches the length of the original text column
+    joined = got.alias("g").join(
+        src.select("doc_id", F.length("text").alias("n0")).alias("s"), "doc_id"
+    )
+    assert joined.filter(F.col("n_chars_rt") != F.col("n0")).count() == 0
