@@ -68,6 +68,12 @@ EXTRA = [
     "interpolate_ts",
     "snapshot_diff",
     "variant_shred",
+    # fourth wave: in-engine recursion, decorrelated LATERAL,
+    # bounded-memory sketch aggregates
+    "recursive_ancestors",
+    "lateral_topk_orders",
+    "heavy_hitters",
+    "hll_distinct_gate",
 ]
 
 

@@ -1575,7 +1575,15 @@ DRIVER_WINDOW = (
     "market_share", "returned_revenue", "salted_skew_join",
     "hierarchy_rollup", "resample_gapfill", "schema_drift_merge",
     "streaming_upsert_run", "streaming_window_run",
-    "asof_join_forward", "rollup_sales", "pii_scrub",
+    # fourth-wave families (new this round, no green sibling anywhere):
+    # recursive CTE closure, sketch-exactness gates (heavy_hitters
+    # reps approx_top_k; hll/theta/quantile gates rotate r5), custom
+    # Python DataSource. They displace asof_join_forward (sibling
+    # asof_join_orders r3-green), pii_scrub (text-fn family lang_id/
+    # quality_score/token_count r2/r3-green) and rollup_sales
+    # (relational-agg family pricing_summary/market_share in-window) —
+    # all three stay locally verified and rotate in r5.
+    "recursive_ancestors", "heavy_hitters", "pyds_manifest_read",
     # third-wave families (new this round, no green sibling);
     # corpus_pipeline composes shuffle+pack+dedup end-to-end, so it
     # takes the slot over the standalone corpus_shuffle (locally

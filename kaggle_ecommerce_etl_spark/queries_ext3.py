@@ -337,6 +337,61 @@ FROM documents WHERE strpos(text, chr(10)) = 0
 """
 
 
+# --------------------------------------------------------------------------
+# custom Python DataSource (Spark 4 datasource API)
+# --------------------------------------------------------------------------
+
+def q_pyds_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Landing-zone ingestion through the custom ``csv_manifest``
+    Python DataSource (sources/pyds.py — the Spark 4 datasource API):
+    a 3-file CSV landing fixture is read with one input partition PER
+    FILE, raw strings + ``_source_file`` lineage out of the scan, and
+    the typing done JVM-side with casts — the division of labor the
+    source's contract prescribes. The Python scan is the honest cost
+    of a Python-only client boundary (reference s3.py:70); everything
+    after the yield is codegen."""
+    from kaggle_ecommerce_etl_spark.queries_ext import _publish_fixture_dir
+    from kaggle_ecommerce_etl_spark.queries_ext2 import _format_fixture
+    from kaggle_ecommerce_etl_spark.sources import pyds
+
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string"),
+        "lang",
+        F.col("n_chars").cast("string"),
+    )
+    path = _format_fixture(sf_dir, "docs_landing_csv", "documents")
+
+    def _build(stage: str) -> None:
+        (
+            d.repartition(3, "doc_id")
+            .write.mode("overwrite")
+            .option("header", "true")
+            .csv(stage)
+        )
+        # Spark writes part-*.csv — already matching the reader's
+        # *.csv listing; the _SPARK_GRAFT_READY marker and _SUCCESS
+        # are filtered by the suffix check.
+
+    _publish_fixture_dir(path, _build)
+    pyds.register(spark)
+    raw = (
+        spark.read.format("csv_manifest")
+        .option("path", path)
+        .option("columns", "doc_id,lang,n_chars")
+        .load()
+    )
+    return raw.select(
+        F.col("doc_id").cast("bigint").alias("doc_id"),
+        "lang",
+        F.col("n_chars").cast("int").alias("n_chars"),
+    )
+
+
+ORACLE_PYDS_MANIFEST = """
+SELECT doc_id, lang, n_chars FROM documents
+"""
+
+
 EXT3_REGISTRY = {
     "recursive_ancestors": (q_recursive_ancestors, ORACLE_RECURSIVE_ANCESTORS),
     "lateral_topk_orders": (q_lateral_topk_orders, ORACLE_LATERAL_TOPK),
@@ -346,6 +401,7 @@ EXT3_REGISTRY = {
     "approx_quantile_gate": (q_approx_quantile_gate, ORACLE_APPROX_QUANTILE),
     "listagg_nations": (q_listagg_nations, ORACLE_LISTAGG),
     "text_roundtrip": (q_text_roundtrip, ORACLE_TEXT_ROUNDTRIP),
+    "pyds_manifest_read": (q_pyds_manifest_read, ORACLE_PYDS_MANIFEST),
 }
 
 

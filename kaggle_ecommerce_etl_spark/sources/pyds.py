@@ -1,0 +1,155 @@
+"""Custom Python DataSource (Spark 4 ``pyspark.sql.datasource`` API):
+the ingestion-boundary connector as a FIRST-CLASS Spark source.
+
+The reference's ingestion (ecommerce_raw_to_s3.py:44-113) is a driver
+script: list landed CSVs, filter names, parse each. ``ingest.py``
+re-expresses that utility; THIS module lifts the same boundary into the
+engine itself — ``spark.read.format("csv_manifest")`` — so landed-file
+ingestion composes with every other operator (predicate pushdown aside:
+a Python source is an opaque scan) and parallelizes by construction:
+
+- **one InputPartition per landed file** (the natural unit of a landing
+  zone — at 100 TB a drop of 10 000 files fans out to 10 000 tasks, no
+  single-cursor driver loop);
+- **deterministic partition order** (sorted listing) so row lineage is
+  reproducible;
+- **raw strings out, casts stay in Spark**: the reader yields every
+  field as a string exactly as landed plus a ``_source_file`` lineage
+  column — tolerant_numeric/date_normalize and friends do the typing
+  JVM-side. Python touches each byte once (the unavoidable decode);
+  everything downstream is codegen.
+
+Where Python data sources belong: connectors whose client library is
+Python-only (the Kaggle API here) or formats Spark lacks. They are NOT
+the fast path for formats Spark reads natively — csv_source.py remains
+the scan used by the pipelines; this source exists for the boundary
+where the reference's ingestion logic (name filter, encoding fallback)
+must run inside the scan itself.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+import os
+from collections.abc import Iterator, Sequence
+
+try:  # Spark 4 API — absent on older runtimes; gate, never crash import
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    HAS_PYDS = True
+except ImportError:  # pragma: no cover — pyspark < 4
+    HAS_PYDS = False
+
+    class DataSource:  # type: ignore[no-redef]
+        def __init__(self, options=None):
+            self.options = options or {}
+
+    class DataSourceReader:  # type: ignore[no-redef]
+        pass
+
+    class InputPartition:  # type: ignore[no-redef]
+        def __init__(self, value):
+            self.value = value
+
+
+#: reference s3.py:95-99 — UTF-8 first, ISO-8859-1 when the bytes
+#: aren't valid UTF-8 (the reference's two-codec landing reality).
+_ENCODINGS = ("utf-8", "iso-8859-1")
+
+
+def _decode_landed(raw: bytes) -> str:
+    for enc in _ENCODINGS:
+        try:
+            return raw.decode(enc)
+        except UnicodeDecodeError:
+            continue
+    # iso-8859-1 maps every byte; unreachable, kept for clarity
+    return raw.decode("iso-8859-1", errors="replace")
+
+
+class _ManifestPartition(InputPartition):
+    """One landed file = one partition. The value is the file path —
+    a picklable primitive, shipped to the executor that reads it."""
+
+
+class CsvManifestReader(DataSourceReader):
+    def __init__(self, options: dict, fields: Sequence[str]):
+        self._path = options["path"]
+        self._fields = list(fields)
+        self._header = options.get("header", "true").lower() == "true"
+        # landing-zone name filter (reference s3.py:74-78 shape),
+        # configurable: substring the name must contain
+        self._must_contain = options.get("name_contains", "")
+
+    def partitions(self):  # noqa: D102 — API method
+        names = sorted(
+            n
+            for n in os.listdir(self._path)
+            if n.endswith(".csv")
+            and "%20" not in n
+            and self._must_contain in n.lower()
+        )
+        return [
+            _ManifestPartition(os.path.join(self._path, n)) for n in names
+        ]
+
+    def read(self, partition: _ManifestPartition) -> Iterator[tuple]:
+        path = partition.value
+        fname = os.path.basename(path)
+        with open(path, "rb") as fh:
+            text = _decode_landed(fh.read())
+        rows = csv.reader(io.StringIO(text))
+        width = len(self._fields)
+        first = True
+        for rec in rows:
+            if first and self._header:
+                first = False
+                continue
+            first = False
+            # align to the declared width (reference pads/truncates
+            # misaligned rows downstream; here short rows null-pad so
+            # the structural split operator can flag them)
+            vals = list(rec[:width]) + [None] * (width - len(rec))
+            yield (*vals, fname)
+
+
+class CsvManifestDataSource(DataSource):
+    """``spark.read.format("csv_manifest").option("path", dir)
+    .option("columns", "a,b,c").load()`` → every column as string plus
+    ``_source_file``. Registered per-session via :func:`register`."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "csv_manifest"
+
+    def _fields(self) -> list[str]:
+        cols = self.options.get("columns")
+        if not cols:
+            raise ValueError(
+                "csv_manifest requires .option('columns', 'a,b,c') — a "
+                "Python source cannot infer schema without an extra "
+                "full pass over the landing zone"
+            )
+        return [c.strip() for c in cols.split(",") if c.strip()]
+
+    def schema(self) -> str:
+        fields = ", ".join(f"`{c}` string" for c in self._fields())
+        return f"{fields}, `_source_file` string"
+
+    def reader(self, schema) -> CsvManifestReader:
+        return CsvManifestReader(dict(self.options), self._fields())
+
+
+def register(spark) -> None:
+    """Idempotently register the source on a session (re-registration
+    overwrites; safe across repeated query calls)."""
+    if not HAS_PYDS:  # pragma: no cover
+        raise NotImplementedError(
+            "pyspark.sql.datasource requires Spark 4+"
+        )
+    spark.dataSource.register(CsvManifestDataSource)

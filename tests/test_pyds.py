@@ -1,0 +1,88 @@
+"""Tests for the custom Python DataSource (sources/pyds.py): the
+ingestion-boundary behaviors the oracle hash can't see — per-file
+partitioning, the landing name filter, the two-codec decode fallback,
+and short-row null padding.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.sources import pyds
+
+
+def _land(tmp_path, name: str, data: bytes) -> None:
+    (tmp_path / name).write_bytes(data)
+
+
+@pytest.fixture()
+def landing(tmp_path):
+    _land(tmp_path, "sale_a.csv", b"id,name\n1,alpha\n2,beta\n")
+    _land(tmp_path, "sale_b.csv", b"id,name\n3,gamma\n")
+    return tmp_path
+
+
+def _read(spark, path, **opts):
+    pyds.register(spark)
+    r = (
+        spark.read.format("csv_manifest")
+        .option("path", str(path))
+        .option("columns", "id,name")
+    )
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_partition_per_file(spark, landing):
+    df = _read(spark, landing)
+    assert df.rdd.getNumPartitions() == 2
+    rows = {(r.id, r.name, r._source_file) for r in df.collect()}
+    assert rows == {
+        ("1", "alpha", "sale_a.csv"),
+        ("2", "beta", "sale_a.csv"),
+        ("3", "gamma", "sale_b.csv"),
+    }
+
+
+def test_name_filter_skips_mangled_and_nonmatching(spark, landing):
+    _land(landing, "sale%20dup.csv", b"id,name\n9,dup\n")
+    _land(landing, "inventory.csv", b"id,name\n8,inv\n")
+    _land(landing, "notes.txt", b"not a csv")
+    df = _read(spark, landing, name_contains="sale")
+    got = {r.id for r in df.collect()}
+    assert got == {"1", "2", "3"}  # %20 name and non-sale file excluded
+
+
+def test_encoding_fallback_iso8859(spark, tmp_path):
+    # 0xE9 = 'é' in ISO-8859-1, invalid as a UTF-8 start byte
+    _land(tmp_path, "latin.csv", b"id,name\n1,caf\xe9\n")
+    df = _read(spark, tmp_path)
+    assert df.collect()[0].name == "café"
+
+
+def test_short_rows_null_padded(spark, tmp_path):
+    _land(tmp_path, "ragged.csv", b"id,name\n1\n2,two,EXTRA\n")
+    rows = {r.id: (r.name) for r in _read(spark, tmp_path).collect()}
+    assert rows == {"1": None, "2": "two"}  # short padded, long truncated
+
+
+def test_columns_option_required(spark, tmp_path):
+    _land(tmp_path, "x.csv", b"id\n1\n")
+    pyds.register(spark)
+    with pytest.raises(Exception, match="columns"):
+        (
+            spark.read.format("csv_manifest")
+            .option("path", str(tmp_path))
+            .load()
+            .collect()
+        )
+
+
+def test_casts_stay_spark_side(spark, landing):
+    """The contract: strings out of the scan, typing via Catalyst casts
+    — the cast must appear in the plan as a JVM projection, not extra
+    Python."""
+    df = _read(spark, landing).select(F.col("id").cast("bigint").alias("id"))
+    assert [r.id for r in df.orderBy("id").collect()] == [1, 2, 3]
