@@ -392,6 +392,80 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+# --------------------------------------------------------------------------
+# seventh streaming paradigm: native session_window aggregation
+# --------------------------------------------------------------------------
+
+def q_streaming_session_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked NATIVE session-window aggregation drained end-to-end
+    (append mode) — the engine-managed sessionization path, distinct
+    from streaming_sessionize_run's custom applyInPandasWithState
+    state machine: ``session_window(ts, gap)`` keeps per-key session
+    state in the state store, merges windows that touch, and emits a
+    session only once the watermark passes its close. A far-future
+    sentinel event advances the final watermark so every real session
+    flushes; the sentinel's own session is excluded by the date
+    filter. Same 30-minute-gap semantics as batch events_sessionize,
+    so the same gap-island oracle restates it. Watermark-bounded
+    state: sessions close 2 h after their last event at the latest —
+    the state store never grows past the live-session set."""
+    import os
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", F.col("ts").cast("timestamp").alias("ts")
+    )
+    from kaggle_ecommerce_etl_spark.queries_ext import _stream_fixture_dir
+    from kaggle_ecommerce_etl_spark.queries_ext import _publish_fixture_dir
+
+    src_dir = _stream_fixture_dir("sesswin:v1", sf_dir)
+
+    def _build(stage: str) -> None:
+        sentinel = spark.createDataFrame([(0,)], "user_id long").select(
+            "user_id", F.lit("2030-01-01").cast("timestamp").alias("ts")
+        )
+        ev.unionByName(sentinel).repartition(2).write.mode(
+            "overwrite"
+        ).parquet(stage)
+
+    _publish_fixture_dir(src_dir, _build)
+
+    qname = "session_run_" + os.path.basename(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    agg = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("w"), "user_id"
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return (
+        spark.table(qname)
+        .filter(F.col("w.start") < F.lit("2029-01-01").cast("timestamp"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def _oracle_streaming_session() -> str:
+    # identical semantics to the batch sessionizer — reuse its oracle
+    from kaggle_ecommerce_etl_spark.queries import ORACLE_SESSIONIZE
+
+    return ORACLE_SESSIONIZE
+
+
 EXT3_REGISTRY = {
     "recursive_ancestors": (q_recursive_ancestors, ORACLE_RECURSIVE_ANCESTORS),
     "lateral_topk_orders": (q_lateral_topk_orders, ORACLE_LATERAL_TOPK),
@@ -402,6 +476,10 @@ EXT3_REGISTRY = {
     "listagg_nations": (q_listagg_nations, ORACLE_LISTAGG),
     "text_roundtrip": (q_text_roundtrip, ORACLE_TEXT_ROUNDTRIP),
     "pyds_manifest_read": (q_pyds_manifest_read, ORACLE_PYDS_MANIFEST),
+    "streaming_session_run": (
+        q_streaming_session_run,
+        _oracle_streaming_session(),
+    ),
 }
 
 

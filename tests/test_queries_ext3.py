@@ -168,6 +168,23 @@ def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
     assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
 
 
+def test_streaming_session_matches_batch_sessionize(spark, sf_dir):
+    """The native streaming session_window drain must produce exactly
+    the batch sessionizer's result — same gap, same corpus, engine
+    state store vs batch aggregation."""
+    from kaggle_ecommerce_etl_spark.queries import q_events_sessionize
+
+    got = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in q3.q_streaming_session_run(spark, sf_dir).collect()
+    }
+    want = {
+        (r.user_id, r.session_start, r.n_events)
+        for r in q_events_sessionize(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
 def test_text_roundtrip_row_parity(spark, sf_dir):
     got = q3.q_text_roundtrip(spark, sf_dir)
     src = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
