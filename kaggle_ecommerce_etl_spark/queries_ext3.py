@@ -258,6 +258,109 @@ FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_topk_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters via MERGED partial top-k sketches — the
+    accumulate/combine/estimate split (approx_top_k_accumulate per
+    source group → approx_top_k_combine across groups): the shape a
+    1000-shard corpus uses, where each shard ships a bounded sketch
+    and only sketches shuffle. Same support floor, ordering, and
+    exactness precondition as heavy_hitters (vocab ≤ tracked budget,
+    pytest-asserted), and the same oracle restates it — so the merge
+    path is pinned to produce exactly what the single-aggregate path
+    produces at test scale."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    parts = toks.groupBy("source").agg(
+        F.expr("approx_top_k_accumulate(token, 65536)").alias("st"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    merged = parts.agg(
+        F.expr(
+            "approx_top_k_estimate(approx_top_k_combine(st, 65536), 64)"
+        ).alias("tk"),
+        F.sum("cnt").alias("total"),
+    )
+    hits = (
+        merged.select(F.explode("tk").alias("h"), "total")
+        .select(
+            F.col("h.item").alias("token"),
+            F.col("h.count").alias("n"),
+            "total",
+        )
+        .filter(F.col("n") * 50 > F.col("total"))
+    )
+    return hits.select(
+        "token", "n", F.round(F.col("n") / F.col("total"), 6).alias("share")
+    ).orderBy(F.desc("n"), "token")
+
+
+ORACLE_TOPK_MERGE = ORACLE_HEAVY_HITTERS
+
+
+def q_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta-sketch SET ALGEBRA — intersection and difference of two
+    distinct-fingerprint sets (English docs vs long docs), the
+    operation HyperLogLog fundamentally cannot do (HLL unions only;
+    Theta retains a key sample, so A∩B and A∖B estimate directly).
+    Exact sides come from ONE fp-level aggregate (membership flags →
+    conditional distinct counts, one shuffle); sketch sides are two
+    filtered theta_sketch_agg calls composed with theta_intersection /
+    theta_difference. Gated ±10 % (set-algebra error compounds over
+    the union, wider than the plain-union gate)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select(
+        F.md5("text").alias("fp"),
+        (F.col("lang") == "en").alias("in_a"),
+        (F.col("n_chars") >= 300).alias("in_b"),
+    )
+    member = fp.groupBy("fp").agg(
+        F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b")
+    )
+    exact = member.agg(
+        F.count_if(F.col("in_a") & F.col("in_b")).alias("inter_exact"),
+        F.count_if(F.col("in_a") & ~F.col("in_b")).alias("diff_exact"),
+    )
+    sk = fp.agg(
+        F.expr("theta_sketch_agg(fp) FILTER (WHERE in_a)").alias("sa"),
+        F.expr("theta_sketch_agg(fp) FILTER (WHERE in_b)").alias("sb"),
+    ).select(
+        F.expr(
+            "theta_sketch_estimate(theta_intersection(sa, sb))"
+        ).alias("inter_est"),
+        F.expr(
+            "theta_sketch_estimate(theta_difference(sa, sb))"
+        ).alias("diff_est"),
+    )
+    out = exact.crossJoin(sk)  # two 1-row frames
+    tol = lambda est, ex: (  # noqa: E731 — local gate closure
+        F.abs(F.col(est) - F.col(ex)) <= F.lit(0.10) * F.col(ex)
+    )
+    return out.select(
+        "inter_exact",
+        tol("inter_est", "inter_exact").alias("inter_ok"),
+        "diff_exact",
+        tol("diff_est", "diff_exact").alias("diff_ok"),
+    )
+
+
+ORACLE_THETA_SET_ALGEBRA = """
+WITH m AS (
+  SELECT md5(text) AS fp,
+         BOOL_OR(lang = 'en') AS in_a,
+         BOOL_OR(n_chars >= 300) AS in_b
+  FROM documents GROUP BY 1
+)
+SELECT COUNT(*) FILTER (WHERE in_a AND in_b) AS inter_exact,
+       TRUE AS inter_ok,
+       COUNT(*) FILTER (WHERE in_a AND NOT in_b) AS diff_exact,
+       TRUE AS diff_ok
+FROM m
+"""
+
+
 # --------------------------------------------------------------------------
 # ordered string aggregation
 # --------------------------------------------------------------------------
@@ -480,6 +583,8 @@ EXT3_REGISTRY = {
         q_streaming_session_run,
         _oracle_streaming_session(),
     ),
+    "topk_sketch_merge": (q_topk_sketch_merge, ORACLE_TOPK_MERGE),
+    "theta_set_algebra": (q_theta_set_algebra, ORACLE_THETA_SET_ALGEBRA),
 }
 
 

@@ -60,6 +60,7 @@ BNLJ_OK = {
     # the two scalar aggregates for the gate comparison — both sides
     # are single-row by construction at any scale.
     "theta_union_gate": "1-row exact × 1-row sketch-estimate gate join",
+    "theta_set_algebra": "1-row exact × 1-row sketch-estimate gate join",
 }
 
 #: queries allowed Arrow-batched python nodes (the documented

@@ -168,6 +168,30 @@ def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
     assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
 
 
+def test_topk_merge_equals_single_aggregate(spark, sf_dir):
+    """The accumulate/combine/estimate split must reproduce the
+    single-aggregate heavy_hitters result exactly while the vocab is
+    inside the tracked budget."""
+    merged = {
+        (r.token, r.n, r.share)
+        for r in q3.q_topk_sketch_merge(spark, sf_dir).collect()
+    }
+    single = {
+        (r.token, r.n, r.share)
+        for r in q3.q_heavy_hitters(spark, sf_dir).collect()
+    }
+    assert merged == single
+
+
+def test_theta_set_algebra_gates(spark, sf_dir):
+    rows = q3.q_theta_set_algebra(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.inter_ok is True and r.diff_ok is True
+    # both sets must be non-trivial for the gate to mean anything
+    assert r.inter_exact > 0 and r.diff_exact > 0
+
+
 def test_streaming_session_matches_batch_sessionize(spark, sf_dir):
     """The native streaming session_window drain must produce exactly
     the batch sessionizer's result — same gap, same corpus, engine
