@@ -329,14 +329,18 @@ def dup_clusters(
     # ~200k edge rows (3 longs) per partition keeps tasks meaningful;
     # a 1000-executor cluster reaches session_parts again at ~6G edges
     loop_parts = max(1, min(session_parts, n_edges // 200_000 + 1))
-    labels = (
-        edges.select(F.col("src").alias("id"))
-        .distinct()
-        .withColumn("cluster", F.col("id"))
-        .localCheckpoint(eager=False)
-    )
     try:
         spark.conf.set(conf_key, str(loop_parts))
+        # labels bootstrap INSIDE the override: localCheckpoint builds
+        # the physical plan at call time, so constructing it earlier
+        # would bake the session partition count into round 0's
+        # distinct shuffle
+        labels = (
+            edges.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("cluster", F.col("id"))
+            .localCheckpoint(eager=False)
+        )
         return _dup_clusters_loop(edges, labels, max_iter)
     finally:
         spark.conf.set(conf_key, str(session_parts))

@@ -405,21 +405,27 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort corpus tooling consumes), written distributed, read back with
     spark.read.text and field-split with a bounded split (limit 3, so
     tabs INSIDE the text survive as part of the last field). Docs
-    containing a newline cannot live on one line — both sides exclude
-    them identically (zero in this corpus; the guard is the contract).
-    Row-level output (id, lang, recomputed char length) so any
-    line-splitting corruption hash-fails."""
+    containing a line terminator (\\n OR bare \\r — Hadoop's line
+    reader splits on both) cannot live on one line, and a NULL field
+    cannot be encoded (concat would shift the remaining fields left) —
+    both sides exclude those rows identically (zero in this corpus;
+    the guard is the contract). Row-level output (id, lang, recomputed
+    char length) so any line-splitting corruption hash-fails."""
     from kaggle_ecommerce_etl_spark.queries_ext2 import _format_fixture
     from kaggle_ecommerce_etl_spark.queries_ext import _publish_fixture_dir
 
     d = _t(spark, sf_dir, "documents").filter(
         ~F.col("text").contains("\n")
+        & ~F.col("text").contains("\r")
+        & F.col("doc_id").isNotNull()
+        & F.col("lang").isNotNull()
+        & F.col("text").isNotNull()
     )
     lines = d.select(
         F.concat_ws("\t", F.col("doc_id").cast("string"), "lang", "text")
         .alias("value")
     )
-    path = _format_fixture(sf_dir, "docs_text", "documents")
+    path = _format_fixture(sf_dir, "docs_text2", "documents")
 
     def _build(stage: str) -> None:
         lines.repartition(4).write.mode("overwrite").text(stage)
@@ -436,7 +442,9 @@ def q_text_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TEXT_ROUNDTRIP = """
 SELECT doc_id, lang, length(text) AS n_chars_rt
-FROM documents WHERE strpos(text, chr(10)) = 0
+FROM documents
+WHERE strpos(text, chr(10)) = 0 AND strpos(text, chr(13)) = 0
+  AND doc_id IS NOT NULL AND lang IS NOT NULL AND text IS NOT NULL
 """
 
 
@@ -462,13 +470,18 @@ def q_pyds_manifest_read(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         F.col("n_chars").cast("string"),
     )
-    path = _format_fixture(sf_dir, "docs_landing_csv", "documents")
+    path = _format_fixture(sf_dir, "docs_landing_csv2", "documents")
 
     def _build(stage: str) -> None:
         (
             d.repartition(3, "doc_id")
             .write.mode("overwrite")
             .option("header", "true")
+            # standard csv dialect (doubled quotes), matching the
+            # Python csv.reader on the consuming side — Spark's
+            # default backslash-escape would misparse any field
+            # containing a double quote
+            .option("escape", '"')
             .csv(stage)
         )
         # Spark writes part-*.csv — already matching the reader's

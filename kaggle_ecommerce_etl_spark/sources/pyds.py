@@ -83,8 +83,10 @@ class CsvManifestReader(DataSourceReader):
         self._fields = list(fields)
         self._header = options.get("header", "true").lower() == "true"
         # landing-zone name filter (reference s3.py:74-78 shape),
-        # configurable: substring the name must contain
-        self._must_contain = options.get("name_contains", "")
+        # configurable: substring the name must contain — lowercased
+        # to match the lowercased listing (a mixed-case needle would
+        # otherwise silently select zero files)
+        self._must_contain = options.get("name_contains", "").lower()
 
     def partitions(self):  # noqa: D102 — API method
         names = sorted(
@@ -111,6 +113,8 @@ class CsvManifestReader(DataSourceReader):
                 first = False
                 continue
             first = False
+            if not rec:  # blank line — not a data row (native CSV
+                continue  # readers skip these too)
             # align to the declared width (reference pads/truncates
             # misaligned rows downstream; here short rows null-pad so
             # the structural split operator can flag them)

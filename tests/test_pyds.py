@@ -68,6 +68,42 @@ def test_short_rows_null_padded(spark, tmp_path):
     assert rows == {"1": None, "2": "two"}  # short padded, long truncated
 
 
+def test_blank_lines_skipped(spark, tmp_path):
+    _land(tmp_path, "gaps.csv", b"id,name\n1,a\n\n2,b\n\n")
+    rows = {r.id for r in _read(spark, tmp_path).collect()}
+    assert rows == {"1", "2"}  # no phantom all-null rows
+
+
+def test_name_contains_case_insensitive(spark, landing):
+    df = _read(spark, landing, name_contains="SALE")
+    assert {r.id for r in df.collect()} == {"1", "2", "3"}
+
+
+def test_quoted_fields_csv_dialect(spark, tmp_path):
+    # standard dialect: embedded quote doubled, field quoted
+    _land(tmp_path, "q.csv", b'id,name\n1,"say ""hi"", ok"\n')
+    assert _read(spark, tmp_path).collect()[0].name == 'say "hi", ok'
+
+
+def test_spark_write_matches_reader_dialect(spark, tmp_path):
+    """The fixture writer in q_pyds_manifest_read uses escape='\"' so
+    Spark emits the doubled-quote dialect csv.reader expects — a field
+    with quotes and commas must survive the full write→read path."""
+    src = spark.createDataFrame(
+        [("1", 'he said "go", twice')], "id string, name string"
+    )
+    out = str(tmp_path / "w")
+    (
+        src.coalesce(1)
+        .write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
+    got = _read(spark, out).collect()[0]
+    assert (got.id, got.name) == ("1", 'he said "go", twice')
+
+
 def test_columns_option_required(spark, tmp_path):
     _land(tmp_path, "x.csv", b"id\n1\n")
     pyds.register(spark)
