@@ -509,6 +509,67 @@ SELECT doc_id, lang, n_chars FROM documents
 
 
 # --------------------------------------------------------------------------
+# catalog surface: external table + ANALYZE statistics
+# --------------------------------------------------------------------------
+
+def q_catalog_table_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-managed access path: a projected orders extract is
+    published as parquet, registered as an EXTERNAL catalog table
+    (CREATE TABLE ... USING parquet LOCATION — definition only, no
+    write race: the data is published first via the atomic fixture
+    rename, and the ``_SPARK_GRAFT_READY`` marker is invisible to the
+    scan because Spark's file index skips underscore-prefixed files),
+    then ANALYZE TABLE COMPUTE STATISTICS FOR ALL COLUMNS feeds the
+    catalog row/size/column stats the optimizer's size estimation and
+    CBO read. The query consumes the table THROUGH the catalog name
+    (spark.table), proving definition → stats → scan end-to-end; at
+    100 TB this is the metastore path every warehouse query takes, and
+    ANALYZE is what turns join-side size guessing into measured
+    numbers. Table name is tagged per source-data generation so a
+    testdata regen can't serve a stale definition."""
+    import re as _re
+
+    from kaggle_ecommerce_etl_spark.queries_ext import _publish_fixture_dir
+    from kaggle_ecommerce_etl_spark.queries_ext2 import _format_fixture
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    path = _format_fixture(sf_dir, "orders_cat", "orders")
+
+    def _build(stage: str) -> None:
+        o.repartition(4).write.mode("overwrite").parquet(stage)
+
+    _publish_fixture_dir(path, _build)
+    tbl = "orders_cat_" + _re.sub(r"\W", "_", path.rsplit("/", 2)[-2])
+    spark.sql(
+        f"CREATE TABLE IF NOT EXISTS {tbl} "
+        f"(o_orderkey BIGINT, o_orderstatus STRING, o_totalprice DOUBLE) "
+        f"USING parquet LOCATION '{path}'"
+    )
+    spark.sql(f"ANALYZE TABLE {tbl} COMPUTE STATISTICS FOR ALL COLUMNS")
+    from kaggle_ecommerce_etl_spark.queries_ext import _dsum
+
+    return (
+        spark.table(tbl)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            _dsum("o_totalprice").alias("sum_total"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_CATALOG_ROUNDTRIP = """
+SELECT o_orderstatus, COUNT(*) AS n,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(23,8))), 2) AS DOUBLE)
+         AS sum_total
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+# --------------------------------------------------------------------------
 # seventh streaming paradigm: native session_window aggregation
 # --------------------------------------------------------------------------
 
@@ -598,6 +659,10 @@ EXT3_REGISTRY = {
     ),
     "topk_sketch_merge": (q_topk_sketch_merge, ORACLE_TOPK_MERGE),
     "theta_set_algebra": (q_theta_set_algebra, ORACLE_THETA_SET_ALGEBRA),
+    "catalog_table_roundtrip": (
+        q_catalog_table_roundtrip,
+        ORACLE_CATALOG_ROUNDTRIP,
+    ),
 }
 
 

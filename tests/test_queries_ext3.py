@@ -168,6 +168,31 @@ def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
     assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
 
 
+def test_catalog_table_stats_populated(spark, sf_dir):
+    """ANALYZE must land row-count statistics in the catalog, the
+    definition must be EXTERNAL (dropping it can never delete data),
+    and a repeated call must be idempotent in the same session."""
+    q3.q_catalog_table_roundtrip(spark, sf_dir)  # create + analyze
+    rows = q3.q_catalog_table_roundtrip(spark, sf_dir).collect()  # idempotent
+    assert rows
+    tbl = next(
+        t.name
+        for t in spark.catalog.listTables()
+        if t.name.startswith("orders_cat_")
+    )
+    desc = {
+        r.col_name: r.data_type
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {tbl}").collect()
+    }
+    assert desc.get("Type") == "EXTERNAL"
+    stats = desc.get("Statistics", "")
+    assert "rows" in stats, stats
+    n_expected = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    )
+    assert f"{n_expected} rows" in stats
+
+
 def test_topk_merge_equals_single_aggregate(spark, sf_dir):
     """The accumulate/combine/estimate split must reproduce the
     single-aggregate heavy_hitters result exactly while the vocab is
