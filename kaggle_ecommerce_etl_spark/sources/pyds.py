@@ -19,6 +19,17 @@ a Python source is an opaque scan) and parallelizes by construction:
   JVM-side. Python touches each byte once (the unavoidable decode);
   everything downstream is codegen.
 
+PICKLING CONTRACT (the applyInPandasWithState lesson, see
+streaming/stateful.py:39): Spark ships the registered DataSource class
+to separate Python processes (a planning-side runner AND executors)
+that may not have this package on their import path — a module-level
+class pickles BY REFERENCE and dies there with ModuleNotFoundError
+(observed in the driver-style /tmp harness). The classes are therefore
+defined inside a factory so their qualname contains ``<locals>`` and
+cloudpickle serializes them BY VALUE, and every helper they touch is
+factory-local or stdlib — no reference back into this package may leak
+into the class bodies.
+
 Where Python data sources belong: connectors whose client library is
 Python-only (the Kaggle API here) or formats Spark lacks. They are NOT
 the fast path for formats Spark reads natively — csv_source.py remains
@@ -29,124 +40,123 @@ must run inside the scan itself.
 
 from __future__ import annotations
 
-import csv
-import io
-import os
-from collections.abc import Iterator, Sequence
-
 try:  # Spark 4 API — absent on older runtimes; gate, never crash import
+    from pyspark.sql.datasource import DataSource  # noqa: F401
+
+    HAS_PYDS = True
+except ImportError:  # pragma: no cover — pyspark < 4
+    HAS_PYDS = False
+
+
+def _build_classes():
+    """Factory: everything the shipped classes touch lives in THIS
+    scope (or stdlib/pyspark, which workers always have)."""
+    import csv
+    import io
+    import os
+
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceReader,
         InputPartition,
     )
 
-    HAS_PYDS = True
-except ImportError:  # pragma: no cover — pyspark < 4
-    HAS_PYDS = False
-
-    class DataSource:  # type: ignore[no-redef]
-        def __init__(self, options=None):
-            self.options = options or {}
-
-    class DataSourceReader:  # type: ignore[no-redef]
-        pass
-
-    class InputPartition:  # type: ignore[no-redef]
-        def __init__(self, value):
-            self.value = value
-
-
-#: reference s3.py:95-99 — UTF-8 first, ISO-8859-1 when the bytes
-#: aren't valid UTF-8 (the reference's two-codec landing reality).
-_ENCODINGS = ("utf-8", "iso-8859-1")
-
-
-def _decode_landed(raw: bytes) -> str:
-    for enc in _ENCODINGS:
-        try:
-            return raw.decode(enc)
-        except UnicodeDecodeError:
-            continue
-    # iso-8859-1 maps every byte; unreachable, kept for clarity
-    return raw.decode("iso-8859-1", errors="replace")
-
-
-class _ManifestPartition(InputPartition):
-    """One landed file = one partition. The value is the file path —
-    a picklable primitive, shipped to the executor that reads it."""
-
-
-class CsvManifestReader(DataSourceReader):
-    def __init__(self, options: dict, fields: Sequence[str]):
-        self._path = options["path"]
-        self._fields = list(fields)
-        self._header = options.get("header", "true").lower() == "true"
-        # landing-zone name filter (reference s3.py:74-78 shape),
-        # configurable: substring the name must contain — lowercased
-        # to match the lowercased listing (a mixed-case needle would
-        # otherwise silently select zero files)
-        self._must_contain = options.get("name_contains", "").lower()
-
-    def partitions(self):  # noqa: D102 — API method
-        names = sorted(
-            n
-            for n in os.listdir(self._path)
-            if n.endswith(".csv")
-            and "%20" not in n
-            and self._must_contain in n.lower()
-        )
-        return [
-            _ManifestPartition(os.path.join(self._path, n)) for n in names
-        ]
-
-    def read(self, partition: _ManifestPartition) -> Iterator[tuple]:
-        path = partition.value
-        fname = os.path.basename(path)
-        with open(path, "rb") as fh:
-            text = _decode_landed(fh.read())
-        rows = csv.reader(io.StringIO(text))
-        width = len(self._fields)
-        first = True
-        for rec in rows:
-            if first and self._header:
-                first = False
+    # reference s3.py:95-99 — UTF-8 first, ISO-8859-1 when the bytes
+    # aren't valid UTF-8 (the reference's two-codec landing reality).
+    def _decode_landed(raw: bytes) -> str:
+        for enc in ("utf-8", "iso-8859-1"):
+            try:
+                return raw.decode(enc)
+            except UnicodeDecodeError:
                 continue
-            first = False
-            if not rec:  # blank line — not a data row (native CSV
-                continue  # readers skip these too)
-            # align to the declared width (reference pads/truncates
-            # misaligned rows downstream; here short rows null-pad so
-            # the structural split operator can flag them)
-            vals = list(rec[:width]) + [None] * (width - len(rec))
-            yield (*vals, fname)
+        # iso-8859-1 maps every byte; unreachable, kept for clarity
+        return raw.decode("iso-8859-1", errors="replace")
 
+    class _ManifestPartition(InputPartition):
+        """One landed file = one partition. The value is the file path
+        — a picklable primitive, shipped to the executor reading it."""
 
-class CsvManifestDataSource(DataSource):
-    """``spark.read.format("csv_manifest").option("path", dir)
-    .option("columns", "a,b,c").load()`` → every column as string plus
-    ``_source_file``. Registered per-session via :func:`register`."""
+    class CsvManifestReader(DataSourceReader):
+        def __init__(self, options: dict, fields):
+            self._path = options["path"]
+            self._fields = list(fields)
+            self._header = options.get("header", "true").lower() == "true"
+            # landing-zone name filter (reference s3.py:74-78 shape),
+            # configurable: substring the name must contain —
+            # lowercased to match the lowercased listing (a mixed-case
+            # needle would otherwise silently select zero files)
+            self._must_contain = options.get("name_contains", "").lower()
 
-    @classmethod
-    def name(cls) -> str:
-        return "csv_manifest"
-
-    def _fields(self) -> list[str]:
-        cols = self.options.get("columns")
-        if not cols:
-            raise ValueError(
-                "csv_manifest requires .option('columns', 'a,b,c') — a "
-                "Python source cannot infer schema without an extra "
-                "full pass over the landing zone"
+        def partitions(self):
+            names = sorted(
+                n
+                for n in os.listdir(self._path)
+                if n.endswith(".csv")
+                and "%20" not in n
+                and self._must_contain in n.lower()
             )
-        return [c.strip() for c in cols.split(",") if c.strip()]
+            return [
+                _ManifestPartition(os.path.join(self._path, n))
+                for n in names
+            ]
 
-    def schema(self) -> str:
-        fields = ", ".join(f"`{c}` string" for c in self._fields())
-        return f"{fields}, `_source_file` string"
+        def read(self, partition):
+            path = partition.value
+            fname = os.path.basename(path)
+            with open(path, "rb") as fh:
+                text = _decode_landed(fh.read())
+            rows = csv.reader(io.StringIO(text))
+            width = len(self._fields)
+            first = True
+            for rec in rows:
+                if first and self._header:
+                    first = False
+                    continue
+                first = False
+                if not rec:  # blank line — not a data row (native
+                    continue  # CSV readers skip these too)
+                # align to the declared width (reference pads/
+                # truncates misaligned rows downstream; short rows
+                # null-pad so the structural split operator can flag
+                # them)
+                vals = list(rec[:width]) + [None] * (width - len(rec))
+                yield (*vals, fname)
 
-    def reader(self, schema) -> CsvManifestReader:
-        return CsvManifestReader(dict(self.options), self._fields())
+    class CsvManifestDataSource(DataSource):
+        """``spark.read.format("csv_manifest").option("path", dir)
+        .option("columns", "a,b,c").load()`` → every column as string
+        plus ``_source_file``. Register via :func:`register`."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "csv_manifest"
+
+        def _field_list(self):
+            cols = self.options.get("columns")
+            if not cols:
+                raise ValueError(
+                    "csv_manifest requires .option('columns', 'a,b,c')"
+                    " — a Python source cannot infer schema without an"
+                    " extra full pass over the landing zone"
+                )
+            return [c.strip() for c in cols.split(",") if c.strip()]
+
+        def schema(self) -> str:
+            fields = ", ".join(
+                f"`{c}` string" for c in self._field_list()
+            )
+            return f"{fields}, `_source_file` string"
+
+        def reader(self, schema):
+            return CsvManifestReader(
+                dict(self.options), self._field_list()
+            )
+
+    return CsvManifestReader, CsvManifestDataSource
+
+
+if HAS_PYDS:
+    CsvManifestReader, CsvManifestDataSource = _build_classes()
 
 
 def register(spark) -> None:

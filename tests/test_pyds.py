@@ -104,6 +104,17 @@ def test_spark_write_matches_reader_dialect(spark, tmp_path):
     assert (got.id, got.name) == ("1", 'he said "go", twice')
 
 
+def test_datasource_pickles_by_value():
+    """Spark ships the registered class to Python processes that may
+    not have this package importable; a module-level class pickles by
+    reference and dies there (observed: PYTHON_DATA_SOURCE_ERROR /
+    ModuleNotFoundError in the driver-style harness). The factory
+    pattern keeps '<locals>' in the qualname, which is what makes
+    cloudpickle serialize by value — this test pins the contract."""
+    assert "<locals>" in pyds.CsvManifestDataSource.__qualname__
+    assert "<locals>" in pyds.CsvManifestReader.__qualname__
+
+
 def test_columns_option_required(spark, tmp_path):
     _land(tmp_path, "x.csv", b"id\n1\n")
     pyds.register(spark)
