@@ -74,6 +74,9 @@ EXTRA = [
     "lateral_topk_orders",
     "heavy_hitters",
     "hll_distinct_gate",
+    "topk_sketch_merge",
+    "theta_set_algebra",
+    "catalog_table_roundtrip",
 ]
 
 

@@ -508,6 +508,78 @@ SELECT doc_id, lang, n_chars FROM documents
 """
 
 
+def q_hll_union_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-shard distinct-count via HLL sketch UNION — the HLL
+    sibling of theta_union_gate: per-source HLL sketches of document
+    fingerprints merged with hll_union_agg into one global estimate
+    (each shard ships 2^12 registers, never its key set), gated ±5 %
+    against the exact global distinct. Together with theta_union_gate
+    this pins BOTH mergeable-distinct families: HLL (smaller state,
+    union-only) and Theta (larger state, full set algebra)."""
+    d = _t(spark, sf_dir, "documents")
+    fp = d.select("source", F.md5(F.col("text")).alias("fp"))
+    per_source = fp.groupBy("source").agg(
+        F.hll_sketch_agg("fp").alias("sk")
+    )
+    merged = per_source.agg(
+        F.hll_sketch_estimate(F.expr("hll_union_agg(sk)")).alias("est")
+    )
+    exact = fp.agg(F.count_distinct("fp").alias("n_exact"))
+    out = exact.crossJoin(merged)  # two 1-row frames
+    ok = (
+        F.abs(F.col("est") - F.col("n_exact"))
+        <= F.lit(0.05) * F.col("n_exact")
+    )
+    return out.select("n_exact", ok.alias("union_ok"))
+
+
+ORACLE_HLL_UNION_GATE = """
+SELECT COUNT(DISTINCT md5(text)) AS n_exact, TRUE AS union_ok
+FROM documents
+"""
+
+
+def q_param_bind_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized SQL (named-bind ``:param`` markers, Spark 4
+    ``spark.sql(..., args=...)``) — the injection-safe literal path a
+    multi-tenant query service uses: parameters bind as typed literals
+    AFTER parsing, so Catalyst constant-folds and pushes them into the
+    scan exactly like inline literals (same plan, no plan-cache
+    poisoning, no string splicing). Shape: priority revenue summary
+    above a bound threshold between bound dates."""
+    orders = _view(spark, sf_dir, "orders")
+    return spark.sql(
+        f"""
+        SELECT o_orderpriority,
+               COUNT(*) AS n,
+               CAST(round(SUM(CAST(o_totalprice AS DECIMAL(23,8))), 2)
+                    AS DOUBLE) AS sum_total
+        FROM {orders}
+        WHERE o_totalprice > :min_total
+          AND o_orderdate >= CAST(:d0 AS TIMESTAMP)
+          AND o_orderdate < CAST(:d1 AS TIMESTAMP)
+        GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        args={
+            "min_total": 150000.0,
+            "d0": "1996-01-01",
+            "d1": "1998-01-01",
+        },
+    )
+
+
+ORACLE_PARAM_BIND = """
+SELECT o_orderpriority, COUNT(*) AS n,
+       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(23,8))), 2) AS DOUBLE)
+         AS sum_total
+FROM orders
+WHERE o_totalprice > 150000.0
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog surface: external table + ANALYZE statistics
 # --------------------------------------------------------------------------
@@ -663,6 +735,8 @@ EXT3_REGISTRY = {
         q_catalog_table_roundtrip,
         ORACLE_CATALOG_ROUNDTRIP,
     ),
+    "hll_union_gate": (q_hll_union_gate, ORACLE_HLL_UNION_GATE),
+    "param_bind_filter": (q_param_bind_filter, ORACLE_PARAM_BIND),
 }
 
 

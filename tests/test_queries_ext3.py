@@ -168,6 +168,27 @@ def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
     assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
 
 
+def test_hll_union_gate(spark, sf_dir):
+    rows = q3.q_hll_union_gate(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0].union_ok is True
+    exact = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.md5("text"))
+        .distinct()
+        .count()
+    )
+    assert rows[0].n_exact == exact
+
+
+def test_param_bind_pushes_to_scan(spark, sf_dir):
+    """Bound parameters must behave as literals: the totalprice and
+    date predicates appear as PushedFilters on the parquet scan."""
+    df = q3.q_param_bind_filter(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan
+    assert "150000" in plan, "bound literal must reach the scan"
+
+
 def test_catalog_table_stats_populated(spark, sf_dir):
     """ANALYZE must land row-count statistics in the catalog, the
     definition must be EXTERNAL (dropping it can never delete data),
