@@ -580,6 +580,41 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+def q_collation_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 COLLATIONS — the engine-
+    level answer to "these keys differ only by case": grouping on
+    ``collate(name, 'UTF8_LCASE')`` compares with case folding INSIDE
+    the hash aggregate (no derived lower() column materialized, and
+    sort/shuffle keys stay collation-aware end-to-end). The fixture
+    manufactures the collision (each sampled customer name unioned
+    with its uppercased twin); output carries the deterministic binary
+    MIN as the group representative — the collated group key itself is
+    first-seen-nondeterministic, which is exactly why it is not
+    projected. Oracle restates with lower()-keyed grouping (equivalent
+    folding on this ASCII domain)."""
+    c = _t(spark, sf_dir, "customer").filter(
+        F.col("c_custkey") % 50 == 0
+    ).select("c_name")
+    mixed = c.unionAll(c.select(F.upper("c_name").alias("c_name")))
+    return (
+        mixed.groupBy(F.expr("collate(c_name, 'UTF8_LCASE')").alias("__k"))
+        .agg(
+            F.min("c_name").alias("name_ci"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .select("name_ci", "n_variants")
+        .orderBy("name_ci")
+    )
+
+
+ORACLE_COLLATION_DEDUP = """
+WITH s AS (SELECT c_name FROM customer WHERE c_custkey % 50 = 0),
+mixed AS (SELECT c_name FROM s UNION ALL SELECT upper(c_name) FROM s)
+SELECT MIN(c_name) AS name_ci, COUNT(*) AS n_variants
+FROM mixed GROUP BY lower(c_name) ORDER BY name_ci
+"""
+
+
 # --------------------------------------------------------------------------
 # catalog surface: external table + ANALYZE statistics
 # --------------------------------------------------------------------------
@@ -737,6 +772,7 @@ EXT3_REGISTRY = {
     ),
     "hll_union_gate": (q_hll_union_gate, ORACLE_HLL_UNION_GATE),
     "param_bind_filter": (q_param_bind_filter, ORACLE_PARAM_BIND),
+    "collation_dedup": (q_collation_dedup, ORACLE_COLLATION_DEDUP),
 }
 
 

@@ -168,6 +168,19 @@ def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
     assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
 
 
+def test_collation_dedup_folds_case(spark, sf_dir):
+    """Every group must contain exactly the 2 manufactured case
+    variants, and the group count must equal the sampled name count."""
+    rows = q3.q_collation_dedup(spark, sf_dir).collect()
+    n_names = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(F.col("c_custkey") % 50 == 0)
+        .count()
+    )
+    assert len(rows) == n_names
+    assert all(r.n_variants == 2 for r in rows)
+
+
 def test_hll_union_gate(spark, sf_dir):
     rows = q3.q_hll_union_gate(spark, sf_dir).collect()
     assert len(rows) == 1 and rows[0].union_ok is True
