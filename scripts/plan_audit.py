@@ -61,6 +61,7 @@ BNLJ_OK = {
     # are single-row by construction at any scale.
     "theta_union_gate": "1-row exact × 1-row sketch-estimate gate join",
     "theta_set_algebra": "1-row exact × 1-row sketch-estimate gate join",
+    "hll_union_gate": "1-row exact × 1-row sketch-estimate gate join",
 }
 
 #: queries allowed Arrow-batched python nodes (the documented
