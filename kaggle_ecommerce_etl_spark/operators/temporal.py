@@ -196,3 +196,53 @@ def asof_join_broadcast(
     return staged.select(
         *left.columns, *[F.col("__pick")[c].alias(c) for c in payload]
     )
+
+
+def gap_islands(
+    df: DataFrame, key_col: str, bucket_size: int = 16384
+) -> DataFrame:
+    """Missing-RANGE detection over an integer key domain (gaps/
+    islands) in the scale-safe two-phase shape.
+
+    The textbook single ``LEAD(key) OVER (ORDER BY key)`` is a
+    one-partition window — a non-starter at 100 TB. Instead keys
+    bucket by ``key DIV bucket_size``; intra-bucket gaps come from a
+    bucket-PARTITIONED lead (fully distributed), and cross-bucket gaps
+    from the per-bucket (min, max) table — |keys|/bucket_size rows,
+    thousands at 100 TB — via one tiny ordered window. The union is
+    exactly the global gap set: a gap either lies inside one bucket or
+    spans a bucket boundary, and a bucket with no keys at all never
+    appears in the bounds table, so its whole range lands in the
+    cross-bucket leg. Output: (gap_start, gap_end, gap_len) sorted.
+    """
+    keys = df.select(F.col(key_col).alias("k")).withColumn(
+        "b", F.expr(f"k DIV {int(bucket_size)}")
+    )
+    intra_w = Window.partitionBy("b").orderBy("k")
+    intra = (
+        keys.withColumn("nxt", F.lead("k").over(intra_w))
+        .filter(F.col("nxt") > F.col("k") + 1)
+        .select(
+            (F.col("k") + 1).alias("gap_start"),
+            (F.col("nxt") - 1).alias("gap_end"),
+        )
+    )
+    bounds = keys.groupBy("b").agg(
+        F.min("k").alias("lo"), F.max("k").alias("hi")
+    )
+    cross_w = Window.orderBy("b")
+    cross = (
+        bounds.withColumn("nxt_lo", F.lead("lo").over(cross_w))
+        .filter(F.col("nxt_lo") > F.col("hi") + 1)
+        .select(
+            (F.col("hi") + 1).alias("gap_start"),
+            (F.col("nxt_lo") - 1).alias("gap_end"),
+        )
+    )
+    return (
+        intra.unionByName(cross)
+        .withColumn(
+            "gap_len", F.col("gap_end") - F.col("gap_start") + F.lit(1)
+        )
+        .orderBy("gap_start")
+    )

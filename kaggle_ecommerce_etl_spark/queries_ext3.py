@@ -676,6 +676,143 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EQUI-DEPTH histogram (the optimizer-statistics shape, vs
+    price_histogram's equi-width): ntile(10) over a TOTAL order
+    (price, then orderkey so ties split deterministically) → per-bin
+    count and value bounds. ntile is the one window here that orders
+    globally; at 100 TB the same statistic comes from
+    approx_percentile bin edges instead (see approx_quantile_gate) —
+    this query pins the EXACT semantics the sketch approximates."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy(F.round("o_totalprice", 2), "o_orderkey")
+    binned = o.select(
+        F.round("o_totalprice", 2).alias("p"),
+        F.ntile(10).over(w).alias("bin"),
+    )
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("p").alias("lo"),
+            F.max("p").alias("hi"),
+        )
+        .orderBy("bin")
+    )
+
+
+ORACLE_EQUIDEPTH = """
+WITH b AS (
+  SELECT round(o_totalprice, 2) AS p,
+         ntile(10) OVER (ORDER BY round(o_totalprice, 2), o_orderkey)
+           AS bin
+  FROM orders
+)
+SELECT bin, COUNT(*) AS n, MIN(p) AS lo, MAX(p) AS hi
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def q_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Missing-key RANGE detection (gaps/islands — the data-quality
+    sweep that answers "which id ranges never landed"), with
+    deterministic gaps carved from the dense orderkey domain (every
+    key ≡ 13 mod 97, plus the whole 7000-7999 block). The naive
+    single LEAD over all keys is a one-partition window; this plan is
+    the SCALE-SAFE two-phase shape instead: keys bucket by key DIV
+    16384, intra-bucket gaps come from a bucket-partitioned LEAD
+    (distributed), and cross-bucket gaps from the per-bucket
+    (min,max) table — thousands of rows at 100 TB — via one tiny
+    ordered window. Union of the two is exactly the global gap set
+    (an empty bucket between non-empty ones lands in the cross-bucket
+    leg by construction). Oracle = the naive global LEAD, affordable
+    at oracle scale. Core = operators/temporal.py gap_islands
+    (cross-bucket leg unit-tested with an empty middle bucket in
+    tests/test_temporal.py)."""
+    from kaggle_ecommerce_etl_spark.operators.temporal import gap_islands
+
+    keys = (
+        _t(spark, sf_dir, "orders")
+        .select(F.col("o_orderkey").alias("k"))
+        .filter((F.col("k") % 97 != 13) & (F.expr("k DIV 1000") != 7))
+    )
+    return gap_islands(keys, "k", bucket_size=16384)
+
+
+ORACLE_GAP_ISLANDS = """
+WITH k AS (
+  SELECT o_orderkey AS k FROM orders
+  WHERE o_orderkey % 97 <> 13 AND o_orderkey // 1000 <> 7
+),
+g AS (SELECT k, lead(k) OVER (ORDER BY k) AS nxt FROM k)
+SELECT k + 1 AS gap_start, nxt - 1 AS gap_end,
+       nxt - k - 1 AS gap_len
+FROM g WHERE nxt > k + 1 ORDER BY gap_start
+"""
+
+
+def q_streaming_enrich_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-STATIC enrichment join drained end-to-end — the eighth
+    streaming paradigm: the event stream joins a static customer→
+    nation dimension (broadcast per micro-batch; the static side is a
+    plain batch scan, re-resolvable every batch, no state store and
+    no watermark needed for the join itself) and aggregates value per
+    nation in complete mode. At 100 TB the static side is the
+    broadcast dim table every enrichment topology carries; state is
+    bounded by |nations|, not the stream."""
+    import os
+    import tempfile
+
+    from kaggle_ecommerce_etl_spark.queries_ext import (
+        _publish_fixture_dir,
+        _stream_fixture_dir,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "value")
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey"), F.col("c_nationkey")
+    )
+    src_dir = _stream_fixture_dir("enrich:v1", sf_dir)
+
+    def _build(stage: str) -> None:
+        ev.repartition(2).write.mode("overwrite").parquet(stage)
+
+    _publish_fixture_dir(src_dir, _build)
+
+    qname = "enrich_run_" + os.path.basename(src_dir)
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    joined = stream.join(
+        F.broadcast(cust), stream.user_id == cust.c_custkey
+    )
+    agg = joined.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(23,8)")), 2)
+        .cast("double")
+        .alias("sum_value"),
+    )
+    query = (
+        agg.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname).select("c_nationkey", "n_events", "sum_value")
+
+
+ORACLE_STREAMING_ENRICH = """
+SELECT c_nationkey, COUNT(*) AS n_events,
+       CAST(round(SUM(CAST(value AS DECIMAL(23,8))), 2) AS DOUBLE)
+         AS sum_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 # --------------------------------------------------------------------------
 # seventh streaming paradigm: native session_window aggregation
 # --------------------------------------------------------------------------
@@ -773,6 +910,12 @@ EXT3_REGISTRY = {
     "hll_union_gate": (q_hll_union_gate, ORACLE_HLL_UNION_GATE),
     "param_bind_filter": (q_param_bind_filter, ORACLE_PARAM_BIND),
     "collation_dedup": (q_collation_dedup, ORACLE_COLLATION_DEDUP),
+    "equidepth_histogram": (q_equidepth_histogram, ORACLE_EQUIDEPTH),
+    "id_gap_islands": (q_id_gap_islands, ORACLE_GAP_ISLANDS),
+    "streaming_enrich_run": (
+        q_streaming_enrich_run,
+        ORACLE_STREAMING_ENRICH,
+    ),
 }
 
 

@@ -168,6 +168,61 @@ def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
     assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
 
 
+def test_equidepth_bins_balanced(spark, sf_dir):
+    rows = q3.q_equidepth_histogram(spark, sf_dir).collect()
+    assert len(rows) == 10
+    counts = [r.n for r in rows]
+    assert max(counts) - min(counts) <= 1  # ntile balance guarantee
+    # bin bounds must be non-decreasing across bins
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi <= b.lo or abs(a.hi - b.lo) < 1e-9
+
+
+def test_id_gap_islands_equals_naive_reference(spark, sf_dir):
+    rows = [
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in q3.q_id_gap_islands(spark, sf_dir).collect()
+    ]
+    keys = sorted(
+        r.o_orderkey
+        for r in spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .select("o_orderkey")
+        .collect()
+        if r.o_orderkey % 97 != 13 and r.o_orderkey // 1000 != 7
+    )
+    want = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(keys, keys[1:])
+        if b > a + 1
+    ]
+    assert rows == want and rows  # the %97 carve guarantees gaps exist
+    # gaps are disjoint and sorted
+    for a, b in zip(rows, rows[1:]):
+        assert a[1] + 1 < b[0]
+
+
+def test_streaming_enrich_matches_batch_join(spark, sf_dir):
+    got = {
+        (r.c_nationkey, r.n_events, r.sum_value)
+        for r in q3.q_streaming_enrich_run(spark, sf_dir).collect()
+    }
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    want = {
+        (r.c_nationkey, r.n_events, r.sum_value)
+        for r in ev.join(cust, ev.user_id == cust.c_custkey)
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(F.col("value").cast("decimal(23,8)")), 2)
+            .cast("double")
+            .alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_collation_dedup_folds_case(spark, sf_dir):
     """Every group must contain exactly the 2 manufactured case
     variants, and the group count must equal the sampled name count."""

@@ -195,3 +195,34 @@ def test_asof_broadcast_equals_union_window(spark, frames, sf_dir):
            sorted(map(tuple, b2.select("event_id", "okey").collect()))
     plan = b2._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_gap_islands_two_phase_equals_naive(spark):
+    """Synthetic keys spanning EMPTY middle buckets (bucket_size=10):
+    keys in buckets 0, 1 and 4 with buckets 2-3 entirely missing —
+    the cross-bucket leg must produce the spanning gap, intra-bucket
+    legs the small ones, and the union must equal the naive global
+    lead."""
+    from kaggle_ecommerce_etl_spark.operators.temporal import gap_islands
+
+    keys = [1, 2, 5, 9, 10, 13, 19, 45, 47]  # buckets {0,1,4}; 2,3 empty
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = [
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in gap_islands(df, "k", bucket_size=10).collect()
+    ]
+    # naive reference
+    want = []
+    for a, b in zip(keys, keys[1:]):
+        if b > a + 1:
+            want.append((a + 1, b - 1, b - a - 1))
+    assert got == want
+    # the bucket-spanning gap (19→45 crosses empty buckets 2 and 3)
+    assert (20, 44, 25) in got
+
+
+def test_gap_islands_no_gaps(spark):
+    from kaggle_ecommerce_etl_spark.operators.temporal import gap_islands
+
+    df = spark.createDataFrame([(k,) for k in range(25)], "k bigint")
+    assert gap_islands(df, "k", bucket_size=10).count() == 0
