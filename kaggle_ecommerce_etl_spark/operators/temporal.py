@@ -214,6 +214,12 @@ def gap_islands(
     spans a bucket boundary, and a bucket with no keys at all never
     appears in the bounds table, so its whole range lands in the
     cross-bucket leg. Output: (gap_start, gap_end, gap_len) sorted.
+
+    The two legs each scan the source once — DELIBERATE: the input is
+    a single pruned integer column, and re-reading it columnar is
+    cheaper at 100 TB than pinning |keys| in cluster memory; a caller
+    that already holds the keys materialized can ``persist()`` before
+    calling and both legs will reuse the cache.
     """
     keys = df.select(F.col(key_col).alias("k")).withColumn(
         "b", F.expr(f"k DIV {int(bucket_size)}")

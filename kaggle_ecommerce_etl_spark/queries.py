@@ -1552,12 +1552,12 @@ WINDOW_ANCHORS = (
 #: r3-green, scd2→latest_per_key shape, quantile_stats→
 #: summary_stats_exact percentiles); displaced queries remain verified
 #: by scripts/check_oracle.py + committed ORACLE_LOCAL evidence and
-#: rotate in r5. After this round 91 oracle-bearing queries remain
+#: rotate in r5. After this round 94 oracle-bearing queries remain
 #: never-driver-checked (reproducible: CORRECTNESS_r0*.json ∪ this
-#: window vs REGISTRY — the count grew because r4 added 16 new
-#: queries while rotating 21+3 slots) — three ~30-slot rotations
-#: (r5, r6, r7) cover them all; rotate oldest-added first and keep
-#: the family anchors asserted by
+#: window vs REGISTRY — the count grew because r4 added 19 new
+#: queries while rotating 21+3 slots) — four ~24-slot rotations
+#: (r5-r8), or three if some slots double up, cover them all; rotate
+#: oldest-added first and keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
     # §2 family representatives (driver-green in r1-r3, kept inside)

@@ -157,6 +157,11 @@ def _build_classes():
 
 if HAS_PYDS:
     CsvManifestReader, CsvManifestDataSource = _build_classes()
+else:  # pragma: no cover — pyspark < 4: keep the attributes defined so
+    # accessing them degrades to the same clear error register() raises,
+    # not an AttributeError at module-attribute lookup
+    CsvManifestReader = None
+    CsvManifestDataSource = None
 
 
 def register(spark) -> None:

@@ -106,6 +106,15 @@ def test_spark_write_matches_reader_dialect(spark, tmp_path):
 
 def test_datasource_pickles_by_value():
     """Spark ships the registered class to Python processes that may
+    not have this package importable (pyspark>=4 required — skip
+    otherwise, matching the module's HAS_PYDS gate)."""
+    if not pyds.HAS_PYDS:  # pragma: no cover
+        pytest.skip("pyspark < 4: datasource API absent")
+    _check_pickle_contract()
+
+
+def _check_pickle_contract():
+    """Spark ships the registered class to Python processes that may
     not have this package importable; a module-level class pickles by
     reference and dies there (observed: PYTHON_DATA_SOURCE_ERROR /
     ModuleNotFoundError in the driver-style harness). The factory
