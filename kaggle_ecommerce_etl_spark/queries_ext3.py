@@ -676,6 +676,148 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT mergeable distinct-count via bitmap aggregates (the
+    Snowflake BITMAP_* pattern, Spark 3.5 bitmap_construct_agg
+    family): customer keys bucket into 32768-bit bitmaps per
+    (status, bucket), bitmap_count sums per status. Unlike HLL/Theta
+    this is exact AND mergeable — partial bitmaps OR together across
+    shards with no error — at the price of state proportional to the
+    key-domain density (4 KB per touched bucket) instead of a fixed
+    sketch size. The oracle is plain COUNT(DISTINCT): same numbers,
+    different (mergeable) plan."""
+    o = _t(spark, sf_dir, "orders")
+    per_bucket = o.select(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bk"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("bp"),
+    ).groupBy("o_orderstatus", "bk").agg(
+        F.expr("bitmap_construct_agg(bp)").alias("bm")
+    )
+    return (
+        per_bucket.groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(
+                "n_distinct_cust"
+            )
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+ORACLE_BITMAP_DISTINCT = """
+SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n_distinct_cust
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
+def q_bitmap_union_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bitmap MERGE leg: per-status partial bitmaps (the shard
+    state a distributed job would hold) OR-combined with
+    bitmap_or_agg per bucket, then counted — the exact global
+    distinct reconstructed purely from mergeable partials, no rescan
+    of raw keys. Oracle: global COUNT(DISTINCT)."""
+    o = _t(spark, sf_dir, "orders")
+    per_shard = o.select(
+        "o_orderstatus",
+        F.expr("bitmap_bucket_number(o_custkey)").alias("bk"),
+        F.expr("bitmap_bit_position(o_custkey)").alias("bp"),
+    ).groupBy("o_orderstatus", "bk").agg(
+        F.expr("bitmap_construct_agg(bp)").alias("bm")
+    )
+    merged = per_shard.groupBy("bk").agg(
+        F.expr("bitmap_or_agg(bm)").alias("bm")
+    )
+    return merged.agg(
+        F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias(
+            "n_distinct_cust"
+        )
+    )
+
+
+ORACLE_BITMAP_UNION = """
+SELECT COUNT(DISTINCT o_custkey) AS n_distinct_cust FROM orders
+"""
+
+
+def q_interval_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping-interval UNION length (the "total covered time"
+    op: how many seconds was each user active, counting overlapping
+    5-minute activity windows once): classic islands merge — per
+    user, ordered by start, a window carries the running max of
+    interval ends; a row opens a new island when its start exceeds
+    every previous end; islands aggregate to (min start, max end) and
+    their lengths sum per user. All integer epoch-second arithmetic —
+    exact at any scale; one shuffle (the per-user window), islands
+    never materialize as a join."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 10 == 0)
+    iv = ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (F.unix_timestamp("ts") + F.lit(300)).alias("e"),
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = iv.withColumn(
+        "new_island",
+        (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long"),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("i0"), F.max("e").alias("i1")
+    )
+    return (
+        islands.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_islands"),
+            F.sum(F.col("i1") - F.col("i0")).cast("bigint").alias(
+                "covered_sec"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+ORACLE_INTERVAL_COVERAGE = """
+WITH iv AS (
+  -- floor, not cast-round: Spark's unix_timestamp truncates
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS s,
+         CAST(floor(epoch(ts)) AS BIGINT) + 300 AS e
+  FROM events WHERE user_id % 10 = 0
+),
+m AS (
+  SELECT user_id, s, e,
+         CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) IS NULL
+               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                            AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_island
+  FROM iv
+),
+g AS (
+  SELECT user_id, s, e,
+         SUM(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+  FROM m
+),
+i AS (SELECT user_id, island, MIN(s) AS i0, MAX(e) AS i1
+      FROM g GROUP BY user_id, island)
+SELECT user_id, COUNT(*) AS n_islands,
+       CAST(SUM(i1 - i0) AS BIGINT) AS covered_sec
+FROM i GROUP BY user_id ORDER BY user_id
+"""
+
+
 def q_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EQUI-DEPTH histogram (the optimizer-statistics shape, vs
     price_histogram's equi-width): ntile(10) over a TOTAL order
@@ -912,6 +1054,12 @@ EXT3_REGISTRY = {
     "collation_dedup": (q_collation_dedup, ORACLE_COLLATION_DEDUP),
     "equidepth_histogram": (q_equidepth_histogram, ORACLE_EQUIDEPTH),
     "id_gap_islands": (q_id_gap_islands, ORACLE_GAP_ISLANDS),
+    "bitmap_distinct_customers": (
+        q_bitmap_distinct_customers,
+        ORACLE_BITMAP_DISTINCT,
+    ),
+    "bitmap_union_distinct": (q_bitmap_union_distinct, ORACLE_BITMAP_UNION),
+    "interval_coverage": (q_interval_coverage, ORACLE_INTERVAL_COVERAGE),
     "streaming_enrich_run": (
         q_streaming_enrich_run,
         ORACLE_STREAMING_ENRICH,

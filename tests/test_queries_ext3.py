@@ -168,6 +168,50 @@ def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
     assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
 
 
+def test_bitmap_distinct_exact(spark, sf_dir):
+    """The bitmap path must equal count_distinct exactly, and the
+    or_agg merge of per-status partials must reconstruct the global
+    distinct (statuses partition the rows but NOT the customers, so
+    the merge genuinely deduplicates across shards)."""
+    per = {
+        r.o_orderstatus: r.n_distinct_cust
+        for r in q3.q_bitmap_distinct_customers(spark, sf_dir).collect()
+    }
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    want = {
+        r.o_orderstatus: r.n
+        for r in o.groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert per == want
+    merged = q3.q_bitmap_union_distinct(spark, sf_dir).collect()[0]
+    global_exact = o.select("o_custkey").distinct().count()
+    assert merged.n_distinct_cust == global_exact
+    # cross-shard dedup is real: statuses overlap in customers
+    assert sum(per.values()) > global_exact
+
+
+def test_interval_coverage_merges_overlaps(spark, sf_dir):
+    """Covered seconds can never exceed 300s x n_events for a user and
+    must be >= 300s (at least one island); islands count must be <=
+    event count."""
+    rows = q3.q_interval_coverage(spark, sf_dir).collect()
+    assert rows
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") % 10 == 0)
+        .groupBy("user_id")
+        .count()
+    )
+    n_ev = {r.user_id: r["count"] for r in ev.collect()}
+    for r in rows:
+        assert 300 <= r.covered_sec <= 300 * n_ev[r.user_id]
+        assert 1 <= r.n_islands <= n_ev[r.user_id]
+    # overlap merging must actually fire somewhere on this fixture
+    assert any(r.covered_sec < 300 * n_ev[r.user_id] for r in rows)
+
+
 def test_equidepth_bins_balanced(spark, sf_dir):
     rows = q3.q_equidepth_histogram(spark, sf_dir).collect()
     assert len(rows) == 10
