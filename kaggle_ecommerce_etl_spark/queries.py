@@ -1552,11 +1552,11 @@ WINDOW_ANCHORS = (
 #: r3-green, scd2→latest_per_key shape, quantile_stats→
 #: summary_stats_exact percentiles); displaced queries remain verified
 #: by scripts/check_oracle.py + committed ORACLE_LOCAL evidence and
-#: rotate in r5. After this round 94 oracle-bearing queries remain
-#: never-driver-checked (reproducible: CORRECTNESS_r0*.json ∪ this
-#: window vs REGISTRY — the count grew because r4 added 19 new
-#: queries while rotating 21+3 slots) — four ~24-slot rotations
-#: (r5-r8), or three if some slots double up, cover them all; rotate
+#: rotate in r5. The remaining never-driver-checked oracle-bearing
+#: set is reproducible as (oracle-bearing REGISTRY) minus
+#: (CORRECTNESS_r0*.json ∪ this window) — 97 as of r4 close (the
+#: count grew because r4 added 22 new queries while rotating 21+3
+#: slots); four ~25-slot rotations (r5-r8) cover them all. Rotate
 #: oldest-added first and keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
