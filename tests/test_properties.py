@@ -199,3 +199,92 @@ def test_quality_score_exact_for_large_documents(spark):
         scaled = Fraction(num * 10000, den)
         v = int(scaled) + (1 if (scaled - int(scaled)) * 2 >= 1 else 0)
         assert got[i] == v / 10000.0, (i, got[i], v)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=500),
+        min_size=1,
+        max_size=60,
+        unique=True,
+    ),
+    st.sampled_from([7, 16, 64]),
+)
+def test_gap_islands_property(spark, keys, bucket_size):
+    """Two-phase bucketed gaps must equal the naive sorted-lead
+    reference for ANY key set and bucket size (boundary-straddling
+    gaps, empty buckets, singleton buckets all land in the union)."""
+    from kaggle_ecommerce_etl_spark.operators.temporal import gap_islands
+
+    df = spark.createDataFrame([(k,) for k in keys], "k bigint")
+    got = [
+        (r.gap_start, r.gap_end, r.gap_len)
+        for r in gap_islands(df, "k", bucket_size=bucket_size).collect()
+    ]
+    ks = sorted(keys)
+    want = [
+        (a + 1, b - 1, b - a - 1)
+        for a, b in zip(ks, ks[1:])
+        if b > a + 1
+    ]
+    assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # user
+            st.integers(min_value=0, max_value=2000),  # start sec
+        ),
+        min_size=1,
+        max_size=50,
+    ),
+    st.sampled_from([50, 300]),
+)
+def test_interval_union_property(spark, rows, length):
+    """Running-max islands merge must equal the naive python interval
+    union for any (user, start) multiset — duplicates, containment,
+    chains, and disjoint intervals included."""
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(rows, "user_id long, s long").withColumn(
+        "e", F.col("s") + F.lit(length)
+    )
+    w = Window.partitionBy("user_id").orderBy("s", "e")
+    prev_max_e = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    marked = df.withColumn(
+        "ni", (prev_max_e.isNull() | (F.col("s") > prev_max_e)).cast("long")
+    ).withColumn(
+        "island", F.sum("ni").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    islands = marked.groupBy("user_id", "island").agg(
+        F.min("s").alias("i0"), F.max("e").alias("i1")
+    )
+    got = {
+        r.user_id: r.covered
+        for r in islands.groupBy("user_id")
+        .agg(F.sum(F.col("i1") - F.col("i0")).alias("covered"))
+        .collect()
+    }
+    # naive reference: merge sorted intervals per user
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for u, s in rows:
+        per[u].append((s, s + length))
+    want = {}
+    for u, ivs in per.items():
+        total = 0
+        cur_s, cur_e = None, None
+        for s, e in sorted(ivs):
+            if cur_e is None or s > cur_e:
+                if cur_e is not None:
+                    total += cur_e - cur_s
+                cur_s, cur_e = s, e
+            else:
+                cur_e = max(cur_e, e)
+        total += cur_e - cur_s
+        want[u] = total
+    assert got == want
