@@ -77,6 +77,9 @@ EXTRA = [
     "topk_sketch_merge",
     "theta_set_algebra",
     "catalog_table_roundtrip",
+    "bitmap_distinct_customers",
+    "interval_coverage",
+    "sql_udf_chunks",
 ]
 
 

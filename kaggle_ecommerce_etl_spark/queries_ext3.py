@@ -676,6 +676,55 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_sql_udf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN): a SCALAR
+    SQL UDF (banded doc quality from char length) and a TABLE-VALUED
+    SQL UDF (chunk-start generator) consumed via LATERAL — both expand
+    to pure Catalyst expressions/plans at resolution time (unlike
+    Python UDFs there is NO serialization boundary: the body inlines,
+    codegen and pushdown see through it), which is what makes SQL UDFs
+    the right reuse mechanism for shared business logic at 100 TB.
+    Both functions are CREATE OR REPLACE'd per call (idempotent,
+    session-scoped, prefixed names). Oracle restates the bodies
+    inline."""
+    docs = _view(spark, sf_dir, "documents")
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __ext3_qband(nc INT) "
+        "RETURNS STRING RETURN CASE WHEN nc < 100 THEN 'short' "
+        "WHEN nc < 300 THEN 'medium' ELSE 'long' END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION __ext3_chunk_starts("
+        "nc INT, size INT) RETURNS TABLE (start INT) "
+        "RETURN SELECT explode(sequence(0, greatest(nc - 1, 0), size))"
+    )
+    return spark.sql(
+        f"""
+        SELECT __ext3_qband(d.n_chars) AS band,
+               COUNT(DISTINCT d.doc_id) AS n_docs,
+               COUNT(*) AS n_chunks,
+               CAST(MAX(c.start) AS INT) AS max_start
+        FROM {docs} d, LATERAL __ext3_chunk_starts(d.n_chars, 128) c
+        GROUP BY __ext3_qband(d.n_chars)
+        ORDER BY band
+        """
+    )
+
+
+ORACLE_SQL_UDF_CHUNKS = """
+WITH c AS (
+  SELECT doc_id, n_chars,
+         CASE WHEN n_chars < 100 THEN 'short'
+              WHEN n_chars < 300 THEN 'medium' ELSE 'long' END AS band,
+         unnest(range(0, greatest(n_chars - 1, 0) + 1, 128)) AS start
+  FROM documents
+)
+SELECT band, COUNT(DISTINCT doc_id) AS n_docs, COUNT(*) AS n_chunks,
+       CAST(MAX(start) AS INT) AS max_start
+FROM c GROUP BY band ORDER BY band
+"""
+
+
 def q_bitmap_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT mergeable distinct-count via bitmap aggregates (the
     Snowflake BITMAP_* pattern, Spark 3.5 bitmap_construct_agg
@@ -1060,6 +1109,7 @@ EXT3_REGISTRY = {
     ),
     "bitmap_union_distinct": (q_bitmap_union_distinct, ORACLE_BITMAP_UNION),
     "interval_coverage": (q_interval_coverage, ORACLE_INTERVAL_COVERAGE),
+    "sql_udf_chunks": (q_sql_udf_chunks, ORACLE_SQL_UDF_CHUNKS),
     "streaming_enrich_run": (
         q_streaming_enrich_run,
         ORACLE_STREAMING_ENRICH,
