@@ -676,6 +676,199 @@ FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+def q_kll_quantile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles via the Datasketches KLL family — the MERGEABLE
+    quantile sketch (rank error ≤ ~1.7 % at the default k): per-status
+    partial sketches (the shard state) merge with kll_merge_agg into
+    one global sketch whose median is gated ±5 % against the exact
+    interpolated percentile. Complements approx_quantile_gate (GK
+    inside one aggregate): KLL exposes the EXPLICIT
+    accumulate-then-merge split a 1000-shard job needs, same pattern
+    as the HLL/Theta/bitmap distinct families."""
+    o = _t(spark, sf_dir, "orders")
+    per_status = o.groupBy("o_orderstatus").agg(
+        F.expr(
+            "kll_sketch_agg_double(CAST(o_totalprice AS DOUBLE))"
+        ).alias("sk")
+    )
+    merged = per_status.agg(
+        F.expr(
+            "kll_sketch_get_quantile_double(kll_merge_agg_double(sk), 0.5)"
+        ).alias("med_kll")
+    )
+    exact = o.agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias(
+            "median_exact"
+        )
+    )
+    out = exact.crossJoin(merged)  # two 1-row frames
+    ok = (
+        F.abs(F.col("med_kll") - F.col("median_exact"))
+        <= F.lit(0.05) * F.col("median_exact")
+    )
+    return out.select("median_exact", ok.alias("kll_ok"))
+
+
+ORACLE_KLL_GATE = """
+SELECT round(quantile_cont(o_totalprice, 0.5), 4) AS median_exact,
+       TRUE AS kll_ok
+FROM orders
+"""
+
+
+def q_cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency gate: the heavy hitters' exact
+    counts checked against CMS estimates (fixed seed → deterministic).
+    CMS NEVER underestimates and overestimates by ≤ ε·N with
+    probability 1-δ, so the gate asserts
+    exact ≤ est ≤ exact + ceil(ε·N) (ε=0.001, δ=0.01). The sketch is
+    built fully ENGINE-SIDE by the count_min_sketch aggregate
+    (mergeable partials, w×d ≈ 2719×7 longs ≈ 150 KB regardless of
+    stream size); the driver deserializes that one bounded blob to
+    query it — never the stream."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    total = toks.count()
+    raw = bytes(
+        toks.agg(
+            F.expr("count_min_sketch(token, 0.001d, 0.99d, 42)").alias("s")
+        ).first()[0]
+    )
+    jvm = spark.sparkContext._jvm
+    cms = jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(
+        jvm.java.io.ByteArrayInputStream(raw)
+    )
+    slack = -(-total // 1000)  # ceil(eps * N)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") * 50 > F.lit(total))
+        .collect()
+    )
+    rows = []
+    for r in sorted(exact, key=lambda r: (-r.n, r.token)):
+        est = cms.estimateCount(r.token)
+        rows.append((r.token, r.n, bool(r.n <= est <= r.n + slack)))
+    return spark.createDataFrame(
+        rows, "token string, n bigint, cms_ok boolean"
+    )
+
+
+ORACLE_CMS_GATE = """
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+  FROM documents
+),
+t AS (SELECT token FROM toks WHERE token <> ''),
+counted AS (
+  SELECT token, COUNT(*) AS n, (SELECT COUNT(*) FROM t) AS total
+  FROM t GROUP BY token
+)
+SELECT token, n, TRUE AS cms_ok
+FROM counted WHERE n * 50 > total
+"""
+
+
+def q_regr_fit_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine OLS via the SQL:2023 regr_* aggregate family — slope,
+    intercept, R² and point count of extendedprice on quantity per
+    return flag, one pass, one shuffle (the regression state is six
+    running sums, perfectly map-side-combinable). DuckDB implements
+    the same aggregates, so the oracle is the literal twin; rounded to
+    4 (the running double sums are reduce-order-dependent only in the
+    last ulps, far below this scale)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(
+                F.expr("regr_slope(l_extendedprice, l_quantity)"), 4
+            ).alias("slope"),
+            F.round(
+                F.expr("regr_intercept(l_extendedprice, l_quantity)"), 4
+            ).alias("intercept"),
+            F.round(
+                F.expr("regr_r2(l_extendedprice, l_quantity)"), 4
+            ).alias("r2"),
+            F.expr("regr_count(l_extendedprice, l_quantity)").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+ORACLE_REGR_FIT = """
+SELECT l_returnflag,
+       round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+       round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+       round(regr_r2(l_extendedprice, l_quantity), 4) AS r2,
+       regr_count(l_extendedprice, l_quantity) AS n
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+"""
+
+
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion path: order rows serialized to XML fragments and
+    parsed back with from_xml + an explicit schema (the same
+    no-infer-at-scale rule as the JSONL reader) — field values must
+    survive the serialize→parse round-trip exactly, so the oracle is
+    simply the original projection. Pure expressions end to end; the
+    XML parse rides the scan."""
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderkey") % 20 == 0)
+    xml = F.format_string(
+        "<o><k>%s</k><s>%s</s><t>%s</t></o>",
+        F.col("o_orderkey").cast("string"),
+        F.col("o_orderstatus"),
+        F.round("o_totalprice", 2).cast("string"),
+    )
+    parsed = o.select(
+        F.from_xml(xml, "k BIGINT, s STRING, t DOUBLE").alias("v")
+    )
+    return parsed.select(
+        F.col("v.k").alias("o_orderkey"),
+        F.col("v.s").alias("o_orderstatus"),
+        F.col("v.t").alias("total"),
+    )
+
+
+ORACLE_XML_ROUNDTRIP = """
+SELECT o_orderkey, o_orderstatus, round(o_totalprice, 2) AS total
+FROM orders WHERE o_orderkey % 20 = 0
+"""
+
+
+def q_kv_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Config-string parsing via str_to_map (the 'k=v,k2=v2' format
+    logs and job configs speak) + typed map extraction — the
+    map-functions surface on the oracle path. The kv string is
+    synthesized from order columns so the parse is verifiable: parse →
+    extract both keys → aggregate must reproduce the direct group-by."""
+    o = _t(spark, sf_dir, "orders")
+    kv = F.concat(
+        F.lit("status="),
+        F.col("o_orderstatus"),
+        F.lit(",prio="),
+        F.col("o_orderpriority"),
+    )
+    m = o.select(F.str_to_map(kv, F.lit(","), F.lit("=")).alias("m"))
+    return (
+        m.select(
+            F.col("m")["status"].alias("status"),
+            F.col("m")["prio"].alias("prio"),
+        )
+        .groupBy("status", "prio")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("status", "prio")
+    )
+
+
+ORACLE_KV_PARSE = """
+SELECT o_orderstatus AS status, o_orderpriority AS prio, COUNT(*) AS n
+FROM orders GROUP BY 1, 2 ORDER BY 1, 2
+"""
+
+
 def q_sql_udf_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SQL-defined UDFs (Spark 4 CREATE FUNCTION ... RETURN): a SCALAR
     SQL UDF (banded doc quality from char length) and a TABLE-VALUED
@@ -1110,6 +1303,11 @@ EXT3_REGISTRY = {
     "bitmap_union_distinct": (q_bitmap_union_distinct, ORACLE_BITMAP_UNION),
     "interval_coverage": (q_interval_coverage, ORACLE_INTERVAL_COVERAGE),
     "sql_udf_chunks": (q_sql_udf_chunks, ORACLE_SQL_UDF_CHUNKS),
+    "kll_quantile_gate": (q_kll_quantile_gate, ORACLE_KLL_GATE),
+    "cms_frequency_gate": (q_cms_frequency_gate, ORACLE_CMS_GATE),
+    "regr_fit_stats": (q_regr_fit_stats, ORACLE_REGR_FIT),
+    "xml_roundtrip": (q_xml_roundtrip, ORACLE_XML_ROUNDTRIP),
+    "kv_parse": (q_kv_parse, ORACLE_KV_PARSE),
     "streaming_enrich_run": (
         q_streaming_enrich_run,
         ORACLE_STREAMING_ENRICH,

@@ -62,6 +62,7 @@ BNLJ_OK = {
     "theta_union_gate": "1-row exact × 1-row sketch-estimate gate join",
     "theta_set_algebra": "1-row exact × 1-row sketch-estimate gate join",
     "hll_union_gate": "1-row exact × 1-row sketch-estimate gate join",
+    "kll_quantile_gate": "1-row exact × 1-row sketch-estimate gate join",
 }
 
 #: queries allowed Arrow-batched python nodes (the documented

