@@ -276,7 +276,7 @@ ORACLE_DISTINCT_PROJ = "SELECT DISTINCT c_nationkey, c_mktsegment FROM customer"
 # --------------------------------------------------------------------------
 
 def q_colname_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Op 9: lower/strip/[\s-]+->_ header rule applied to every column."""
+    r"""Op 9: lower/strip/[\s-]+->_ header rule applied to every column."""
     li = _t(spark, sf_dir, "lineitem").select(
         F.col("l_orderkey").alias("L  OrderKey"),
         F.col("l_linenumber").alias(" Line-Number "),

@@ -1271,6 +1271,143 @@ def _oracle_streaming_session() -> str:
     return ORACLE_SESSIONIZE
 
 
+# --------------------------------------------------------------------------
+# Python UDTF (arrow-optimized table function) on the oracle surface
+# --------------------------------------------------------------------------
+
+def q_udtf_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (Spark 3.5+/4.x user-defined TABLE function) on the
+    oracle surface: span-level repetition detection — for each document
+    emit every maximal run of ≥2 consecutive identical tokens as
+    (start_pos, token, run_len). The span-level sibling of the scalar
+    ``repetition_ratio`` quality signal: an LLM-data curation pass uses
+    these spans to excise degenerate text instead of dropping whole
+    docs (reference has no text-quality surface at all; this extends
+    transform.py's row-filter family to sub-row granularity).
+
+    Engine surface: ``@udtf(useArrow=True)`` — rows stream to the
+    Python worker in Arrow batches (ArrowEvalPythonUDTF, never the
+    row-pickling BatchEvalPython path) and the correlated ``LATERAL
+    repeat_runs(text)`` join is planned by Catalyst like any generator:
+    per-partition, zero shuffle, no driver participation — embarrassing
+    parallelism at 100 TB. The class is defined factory-local so
+    cloudpickle serializes it BY VALUE (same rule as the Python
+    DataSource classes): workers never need this repo importable.
+
+    Tokenization is ``split(" ")`` — exactly DuckDB's
+    ``string_split(text, ' ')`` — so the oracle's gaps-and-islands
+    restatement is token-for-token identical."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="start_pos int, token string, run_len int", useArrow=True)
+    class RepeatRuns:
+        def eval(self, text):  # noqa: ANN001 — UDTF eval signature
+            if text is None:
+                return
+            toks = text.split(" ")
+            n = len(toks)
+            i = 0
+            while i < n:
+                j = i
+                while j + 1 < n and toks[j + 1] == toks[i]:
+                    j += 1
+                if j > i and toks[i] != "":
+                    yield i, toks[i], j - i + 1
+                i = j + 1
+
+    spark.udtf.register("repeat_runs", RepeatRuns)
+    v = _view(spark, sf_dir, "documents")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, r.start_pos, r.token, r.run_len
+        FROM {v} d, LATERAL repeat_runs(d.text) r
+        """
+    )
+
+
+#: gaps-and-islands restatement: 1-based generate_subscripts positions,
+#: runs keyed by i - row_number() within (doc, token); start_pos is the
+#: 0-based run head to match the UDTF's Python indexing.
+ORACLE_UDTF_REPEAT_RUNS = """
+WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents
+           WHERE text IS NOT NULL),
+     e AS (SELECT doc_id, unnest(w) AS tok,
+                  generate_subscripts(w, 1) AS i FROM t),
+     g AS (SELECT doc_id, tok, i,
+                  i - row_number() OVER (
+                      PARTITION BY doc_id, tok ORDER BY i) AS grp
+           FROM e WHERE tok <> ''),
+     r AS (SELECT doc_id, tok, min(i) - 1 AS start_pos,
+                  count(*) AS run_len
+           FROM g GROUP BY doc_id, tok, grp)
+SELECT doc_id, CAST(start_pos AS INT) AS start_pos, tok AS token,
+       CAST(run_len AS INT) AS run_len
+FROM r WHERE run_len >= 2
+"""
+
+
+# --------------------------------------------------------------------------
+# state-store READER: streaming state as a queryable table (Spark 4)
+# --------------------------------------------------------------------------
+
+def q_state_store_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 state-store reader on the oracle surface: drain the
+    exact-dedup stream (duplicated events fixture, AvailableNow) into a
+    ``noop`` sink, then read the checkpoint's state back with
+    ``spark.read.format("statestore")`` — streaming state as a plain
+    queryable table. This is the operational tool every 100 TB
+    streaming deployment needs (audit state growth, debug a hot key,
+    migrate a checkpoint) and it works WITHOUT replaying the stream:
+    the reader scans the per-partition state files directly, in
+    parallel, no driver participation.
+
+    Correctness anchor: after a full drain, ``dropDuplicates(event_id)``
+    state is BY CONTRACT exactly the distinct key set — so the state
+    read is oracle-checkable as ``SELECT DISTINCT event_id`` over the
+    ORIGINAL batch table (the duplicated fixture adds no new keys).
+    A fresh checkpoint per call keeps the drain deterministic."""
+    import os
+    import tempfile
+
+    from kaggle_ecommerce_etl_spark.queries_ext import (
+        _publish_fixture_dir,
+        _stream_fixture_dir,
+    )
+    from kaggle_ecommerce_etl_spark.streaming.dedup import dedup_stream_exact
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value", "ts"
+    )
+    src_dir = _stream_fixture_dir("statekeys:v1", sf_dir)
+
+    def _build(stage: str) -> None:
+        dups = ev.filter(F.col("event_id") % 5 == 0)
+        ev.unionByName(dups).repartition(2).write.mode("overwrite").parquet(
+            stage
+        )
+
+    _publish_fixture_dir(src_dir, _build)
+
+    ckpt = tempfile.mkdtemp(prefix="ckpt_statekeys_")
+    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    query = (
+        dedup_stream_exact(stream, ["event_id"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    return state.select(F.col("key.event_id").alias("event_id"))
+
+
+ORACLE_STATE_STORE_READ = """
+SELECT DISTINCT event_id FROM events
+"""
+
+
 EXT3_REGISTRY = {
     "recursive_ancestors": (q_recursive_ancestors, ORACLE_RECURSIVE_ANCESTORS),
     "lateral_topk_orders": (q_lateral_topk_orders, ORACLE_LATERAL_TOPK),
@@ -1312,6 +1449,8 @@ EXT3_REGISTRY = {
         q_streaming_enrich_run,
         ORACLE_STREAMING_ENRICH,
     ),
+    "udtf_repeat_runs": (q_udtf_repeat_runs, ORACLE_UDTF_REPEAT_RUNS),
+    "state_store_read": (q_state_store_read, ORACLE_STATE_STORE_READ),
 }
 
 

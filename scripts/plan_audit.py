@@ -73,6 +73,8 @@ ARROW_OK_PREFIXES = (
     "ann_",
     "multimodal_",
     "dup_clusters",  # routes LSH pairs (vectorized bucket UDF)
+    "udtf_",  # Arrow-batched Python UDTF (ArrowEvalPythonUDTF) — the
+    # sanctioned table-function API surface, never row-pickling
 )
 
 

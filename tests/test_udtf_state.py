@@ -1,0 +1,123 @@
+"""Python UDTF (arrow table function) + Spark 4 state-store reader.
+
+Covers the two round-4 engine surfaces added in queries_ext3:
+- ``udtf_repeat_runs``: span-level repetition detection via an
+  Arrow-optimized ``@udtf`` joined with LATERAL.
+- ``state_store_read``: the checkpoint state of a drained
+  ``dropDuplicates`` stream read back as a table.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.queries_ext3 import (
+    q_state_store_read,
+    q_udtf_repeat_runs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _runs_for(spark, text):
+    """Run the registered repeat_runs UDTF over one literal row."""
+    q_udtf_repeat_runs(spark, SF)  # registers the UDTF (and smoke-runs)
+    df = spark.createDataFrame([(text,)], "text string")
+    df.createOrReplaceTempView("__one_doc")
+    return [
+        tuple(r)
+        for r in spark.sql(
+            "SELECT r.start_pos, r.token, r.run_len "
+            "FROM __one_doc d, LATERAL repeat_runs(d.text) r"
+        ).collect()
+    ]
+
+
+def test_udtf_repeat_runs_micro_semantics(spark):
+    # runs at start, middle, and end; singletons emitted never
+    assert _runs_for(spark, "a a b c c c d") == [(0, "a", 2), (3, "c", 3)]
+    assert _runs_for(spark, "x y z") == []
+    assert _runs_for(spark, "t t") == [(0, "t", 2)]
+    # trailing run reaches the end of the doc
+    assert _runs_for(spark, "a b b") == [(1, "b", 2)]
+    # NULL text contributes no rows (LATERAL drops the row)
+    assert _runs_for(spark, None) == []
+
+
+def test_udtf_repeat_runs_arrow_plan(spark):
+    plan = (
+        q_udtf_repeat_runs(spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "ArrowEvalPythonUDTF" in plan
+    assert "BatchEvalPython" not in plan  # never the row-pickling path
+    assert "Exchange" not in plan  # generator shape: zero shuffles
+
+
+def test_udtf_repeat_runs_matches_expression_count(spark, sf_dir):
+    """Total repeated-token positions from the UDTF must equal the
+    expression-side count (tokens differing from their predecessor
+    inverted): sum(run_len) counts all tokens inside runs, which is
+    n_tokens - n_run_boundaries_and_singletons per doc."""
+    runs = q_udtf_repeat_runs(spark, sf_dir)
+    udtf_total = runs.agg(
+        F.coalesce(F.sum("run_len"), F.lit(0)).alias("s")
+    ).collect()[0]["s"]
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = docs.select(
+        F.split(F.col("text"), " ").alias("w")
+    ).select(F.expr(
+        # tokens minus number of distinct runs/singleton groups
+        "size(w) - size(filter(sequence(0, size(w)-1), "
+        "i -> i = 0 OR w[i] <> w[i-1]))"
+    ).alias("extra"), F.col("w"))
+    # extra = sum over runs of (len-1); udtf_total = sum over runs>=2 of len
+    # so udtf_total = extra + n_runs(>=2). Verify via a second expression:
+    nruns = docs.select(F.expr(
+        "size(filter(sequence(1, size(split(text,' '))-1), "
+        "i -> split(text,' ')[i] = split(text,' ')[i-1] AND "
+        "(i = 1 OR split(text,' ')[i-1] <> split(text,' ')[i-2])))"
+    ).alias("n")).agg(F.sum("n").alias("n")).collect()[0]["n"]
+    extra_total = toks.agg(F.sum("extra").alias("s")).collect()[0]["s"]
+    assert udtf_total == extra_total + nruns
+
+
+def test_state_store_read_equals_distinct_keys(spark, sf_dir):
+    got = {
+        r["event_id"] for r in q_state_store_read(spark, sf_dir).collect()
+    }
+    want = {
+        r["event_id"]
+        for r in spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id")
+        .distinct()
+        .collect()
+    }
+    assert got == want
+
+
+def test_state_store_reader_standalone_roundtrip(spark):
+    """Independent of the registry fixture: tiny stream, known keys."""
+    src = tempfile.mkdtemp(prefix="st_src_")
+    ckpt = tempfile.mkdtemp(prefix="st_ckpt_")
+    df = spark.range(30).select(
+        (F.col("id") % 11).alias("k"), F.col("id").alias("v")
+    )
+    df.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    q = (
+        stream.dropDuplicates(["k"])
+        .writeStream.format("noop")
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    state = spark.read.format("statestore").load(ckpt)
+    keys = {r[0] for r in state.select("key.k").collect()}
+    assert keys == set(range(11))
