@@ -1408,6 +1408,73 @@ SELECT DISTINCT event_id FROM events
 """
 
 
+# --------------------------------------------------------------------------
+# applyInArrow: per-group robust statistics the engine lacks natively
+# --------------------------------------------------------------------------
+
+def q_arrow_group_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation MEDIAN ABSOLUTE DEVIATION of customer balances via
+    ``groupBy(...).applyInArrow`` (Spark 4's Arrow-native grouped-map —
+    no pandas conversion layer at all: the UDF receives and returns
+    ``pyarrow.Table``). MAD is the robust dispersion statistic outlier
+    sweeps use instead of stddev, and Spark has NO built-in for it
+    (median-of-transformed-residuals is not expressible as a single
+    aggregate), so this is exactly the sanctioned custom-op tier:
+    composition impossible → Arrow-batched per-group kernel.
+
+    Exactness contract: balances convert to integer CENTS before the
+    kernel, so both medians land on exact .0/.5/.25 binary fractions —
+    numpy's interpolated median then equals DuckDB's ``median``/``mad``
+    bit-for-bit at any scale (verified: the double product path in both
+    engines sees identical IEEE inputs; no decimal-tie risk).
+
+    Scale shape: one hash-partial-free shuffle on the group key, then
+    per-group Arrow kernels sized by |group| (largest nation's
+    customers must fit one task — the documented applyIn* contract,
+    same as the reference's whole-frame pandas but per-key instead of
+    per-dataset). groupBy cardinality 25 → trivially balanced here;
+    for high-skew keys the salt-and-recombine pattern in
+    operators/scale.py applies (MAD is not algebraic, so the exact
+    path cannot map-side combine — that irreducibility is WHY this op
+    needs the custom tier)."""
+    import numpy as np
+    import pyarrow as pa
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def _mad(tbl: "pa.Table") -> "pa.Table":
+        cents = tbl.column("cents").to_numpy(zero_copy_only=False)
+        med = float(np.median(cents))
+        mad = float(np.median(np.abs(cents - med)))
+        return pa.table(
+            {
+                "c_nationkey": pa.array(
+                    [tbl.column("c_nationkey")[0].as_py()], pa.int32()
+                ),
+                "n_cust": pa.array([len(cents)], pa.int64()),
+                "median_cents": pa.array([med], pa.float64()),
+                "mad_cents": pa.array([mad], pa.float64()),
+            }
+        )
+
+    return cust.groupBy("c_nationkey").applyInArrow(
+        _mad,
+        schema="c_nationkey int, n_cust bigint, "
+        "median_cents double, mad_cents double",
+    )
+
+
+ORACLE_ARROW_GROUP_MAD = """
+SELECT c_nationkey, count(*) AS n_cust,
+       median(CAST(round(c_acctbal * 100) AS BIGINT)) AS median_cents,
+       mad(CAST(round(c_acctbal * 100) AS BIGINT)) AS mad_cents
+FROM customer GROUP BY c_nationkey
+"""
+
+
 EXT3_REGISTRY = {
     "recursive_ancestors": (q_recursive_ancestors, ORACLE_RECURSIVE_ANCESTORS),
     "lateral_topk_orders": (q_lateral_topk_orders, ORACLE_LATERAL_TOPK),
@@ -1451,6 +1518,7 @@ EXT3_REGISTRY = {
     ),
     "udtf_repeat_runs": (q_udtf_repeat_runs, ORACLE_UDTF_REPEAT_RUNS),
     "state_store_read": (q_state_store_read, ORACLE_STATE_STORE_READ),
+    "arrow_group_mad": (q_arrow_group_mad, ORACLE_ARROW_GROUP_MAD),
 }
 
 

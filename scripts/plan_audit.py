@@ -75,6 +75,8 @@ ARROW_OK_PREFIXES = (
     "dup_clusters",  # routes LSH pairs (vectorized bucket UDF)
     "udtf_",  # Arrow-batched Python UDTF (ArrowEvalPythonUDTF) — the
     # sanctioned table-function API surface, never row-pickling
+    "arrow_",  # applyInArrow grouped-map (FlatMapGroupsInArrow) — the
+    # custom per-group kernel tier for non-composable statistics
 )
 
 
@@ -103,7 +105,9 @@ def main() -> int:
             "cartesian": plan.count("CartesianProduct"),
             "bnlj": plan.count("BroadcastNestedLoopJoin"),
             "py_row_udf": plan.count("BatchEvalPython"),
-            "arrow_python": plan.count("ArrowEvalPython") + plan.count("MapInPandas"),
+            "arrow_python": plan.count("ArrowEvalPython")
+            + plan.count("MapInPandas")
+            + plan.count("FlatMapGroupsInArrow"),
         }
         flags = []
         if entry["cartesian"]:

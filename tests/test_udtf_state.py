@@ -14,6 +14,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from kaggle_ecommerce_etl_spark.queries_ext3 import (
+    q_arrow_group_mad,
     q_state_store_read,
     q_udtf_repeat_runs,
 )
@@ -98,6 +99,46 @@ def test_state_store_read_equals_distinct_keys(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_arrow_group_mad_matches_sql_two_pass(spark, sf_dir):
+    """Independent in-Spark cross-check: MAD restated as two exact
+    interpolated-percentile passes (median per group joined back, then
+    median of |x - med|) must equal the Arrow kernel's answer."""
+    got = {
+        r["c_nationkey"]: (r["n_cust"], r["median_cents"], r["mad_cents"])
+        for r in q_arrow_group_mad(spark, sf_dir).collect()
+    }
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        "c_nationkey",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    med = cust.groupBy("c_nationkey").agg(
+        F.expr("percentile(cents, 0.5)").alias("med"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    mad = (
+        cust.join(med, "c_nationkey")
+        .groupBy("c_nationkey")
+        .agg(F.expr("percentile(abs(cents - med), 0.5)").alias("mad"))
+    )
+    want = {
+        r["c_nationkey"]: (r["n"], r["med"], r["mad"])
+        for r in med.join(mad, "c_nationkey").collect()
+    }
+    assert got == want
+
+
+def test_arrow_group_mad_plan_is_arrow_native(spark, sf_dir):
+    plan = (
+        q_arrow_group_mad(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "FlatMapGroupsInArrow" in plan
+    assert "FlatMapGroupsInPandas" not in plan  # no pandas layer
+    assert plan.count("Exchange") == 1  # one shuffle on the group key
 
 
 def test_state_store_reader_standalone_roundtrip(spark):
