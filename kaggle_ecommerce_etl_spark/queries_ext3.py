@@ -1475,6 +1475,91 @@ FROM customer GROUP BY c_nationkey
 """
 
 
+# --------------------------------------------------------------------------
+# streaming Python DataSource: the landing zone as a micro-batch stream
+# --------------------------------------------------------------------------
+
+def q_pyds_stream_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NINTH streaming paradigm: a custom PYTHON streaming source
+    (Spark 4 ``DataSourceStreamReader`` — the partition-based API, not
+    the driver-side Simple variant) drained end-to-end. The landing
+    zone itself becomes the stream: offsets are consumed-file counts,
+    each micro-batch fans one InputPartition per newly-landed CSV to
+    the executors, and the reader yields raw strings + a
+    ``_source_file`` lineage column (the same contract as the batch
+    ``csv_manifest`` source). This supersedes the reference's cron
+    re-scan (modified-in-last-Δ, pg.py:74-121) with exact
+    checkpointed progress over the same directory layout.
+
+    The fixture is BOUNDED by construction (event_id < 6000 →
+    ≤6000 rows at ANY sf), split across three landed files — a
+    control-plane-sized drop; the scale path is the same reader over
+    10 000 files, where the driver only lists names."""
+    import csv as _csv
+    import os
+    import tempfile
+
+    from kaggle_ecommerce_etl_spark.queries_ext import (
+        _publish_fixture_dir,
+        _stream_fixture_dir,
+    )
+    from kaggle_ecommerce_etl_spark.sources.pyds import register_stream
+
+    ev = (
+        _t(spark, sf_dir, "events")
+        .select("event_id", "user_id", "event_type")
+        .filter(F.col("event_id") < 6000)
+    )
+    src_dir = _stream_fixture_dir("pydsstream:v1", sf_dir)
+
+    def _build(stage: str) -> None:
+        os.makedirs(stage, exist_ok=True)
+        rows = ev.collect()  # ≤6000 rows by the filter — bounded at any sf
+        buckets: dict[int, list] = {0: [], 1: [], 2: []}
+        for r in rows:
+            buckets[r["event_id"] % 3].append(r)
+        for k, rs in buckets.items():
+            with open(
+                f"{stage}/events_{k}.csv", "w", newline=""
+            ) as fh:
+                w = _csv.writer(fh)
+                w.writerow(["event_id", "user_id", "event_type"])
+                for r in sorted(rs, key=lambda x: x["event_id"]):
+                    w.writerow(
+                        [r["event_id"], r["user_id"], r["event_type"]]
+                    )
+
+    _publish_fixture_dir(src_dir, _build)
+    register_stream(spark)
+
+    qname = "pyds_stream_" + os.path.basename(src_dir)
+    stream = (
+        spark.readStream.format("landing_stream")
+        .option("path", src_dir)
+        .option("columns", "event_id,user_id,event_type")
+        .load()
+    )
+    query = (
+        stream.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    return spark.table(qname)
+
+
+ORACLE_PYDS_STREAM = """
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       CAST(user_id AS VARCHAR) AS user_id,
+       event_type,
+       'events_' || CAST(event_id % 3 AS VARCHAR) || '.csv'
+         AS _source_file
+FROM events WHERE event_id < 6000
+"""
+
+
 EXT3_REGISTRY = {
     "recursive_ancestors": (q_recursive_ancestors, ORACLE_RECURSIVE_ANCESTORS),
     "lateral_topk_orders": (q_lateral_topk_orders, ORACLE_LATERAL_TOPK),
@@ -1519,6 +1604,7 @@ EXT3_REGISTRY = {
     "udtf_repeat_runs": (q_udtf_repeat_runs, ORACLE_UDTF_REPEAT_RUNS),
     "state_store_read": (q_state_store_read, ORACLE_STATE_STORE_READ),
     "arrow_group_mad": (q_arrow_group_mad, ORACLE_ARROW_GROUP_MAD),
+    "pyds_stream_run": (q_pyds_stream_run, ORACLE_PYDS_STREAM),
 }
 
 
