@@ -1571,9 +1571,22 @@ DRIVER_WINDOW = (
     "ddl_roundtrip", "audit_columns", "summary_stats_exact",
     "events_tumbling", "dedup_exact_docs", "minhash_signatures",
     "cosine_topk", "multimodal_metadata",
-    # r4 rotation: never-driver-checked entries promoted this round
-    "jdbc_roundtrip", "dup_clusters", "incremental_neardup",
-    "tfidf_top_terms", "decontaminate",
+    # r4 rotation: never-driver-checked entries promoted this round.
+    # Late-r4 adjustment: four brand-new ENGINE-API families landed
+    # after the window was first cut (Arrow Python UDTF, state-store
+    # reader, applyInArrow grouped kernel, streaming Python
+    # DataSource) — by this window's own policy (never-checked
+    # families with no green sibling rank first) they take the slots
+    # of four never-checked entries whose FAMILY keeps an in-window or
+    # driver-green sibling: dup_clusters (iterative-CC sibling
+    # semantic_dedup_keep stays in-window), incremental_neardup +
+    # decontaminate (inverted-index n-gram join family:
+    # minhash/word_jaccard green, minhash_signatures anchored),
+    # tfidf_top_terms (explode+agg text family: token_count/lang_id
+    # green). All four displaced stay locally oracle-verified
+    # (ORACLE_LOCAL_r0*.txt) and head the r5 rotation.
+    "udtf_repeat_runs", "state_store_read", "arrow_group_mad",
+    "pyds_stream_run", "jdbc_roundtrip",
     "market_share", "returned_revenue", "salted_skew_join",
     "hierarchy_rollup", "resample_gapfill", "schema_drift_merge",
     "streaming_upsert_run", "streaming_window_run",
