@@ -288,3 +288,56 @@ def test_interval_union_property(spark, rows, length):
         total += cur_e - cur_s
         want[u] = total
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(
+            st.sampled_from(["a", "b", "c", "dd"]),
+            min_size=0,
+            max_size=25,
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_udtf_repeat_runs_property(spark, docs):
+    """The Arrow UDTF's runs must equal a naive per-doc scan reference
+    on arbitrary token sequences (a tiny alphabet maximizes run
+    density), including empty docs and all-run docs."""
+    from kaggle_ecommerce_etl_spark.queries_ext3 import q_udtf_repeat_runs
+
+    q_udtf_repeat_runs(spark, "/root/testdata/sf0.001")  # register
+
+    def naive(toks):
+        out, i = [], 0
+        while i < len(toks):
+            j = i
+            while j + 1 < len(toks) and toks[j + 1] == toks[i]:
+                j += 1
+            if j > i:
+                out.append((i, toks[i], j - i + 1))
+            i = j + 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, " ".join(t)) for i, t in enumerate(docs)],
+        "doc_id int, text string",
+    )
+    df.createOrReplaceTempView("__prop_docs")
+    got = {}
+    for r in spark.sql(
+        "SELECT d.doc_id, r.start_pos, r.token, r.run_len "
+        "FROM __prop_docs d, LATERAL repeat_runs(d.text) r"
+    ).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.start_pos, r.token, r.run_len)
+        )
+    for i, toks in enumerate(docs):
+        # "" tokens from empty docs: split(" ") of "" is [""] — the
+        # UDTF skips empty-string runs by contract
+        assert sorted(got.get(i, [])) == sorted(naive(toks)), (
+            i,
+            toks,
+        )
