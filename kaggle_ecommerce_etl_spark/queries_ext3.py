@@ -1560,6 +1560,50 @@ FROM events WHERE event_id < 6000
 """
 
 
+# --------------------------------------------------------------------------
+# order-statistic window aggregate: rolling median, natively
+# --------------------------------------------------------------------------
+
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling MEDIAN per user over event history — the order-statistic
+    window the robust-feature path needs (outlier-resistant level
+    estimate; the windowed sibling of arrow_group_mad). Spark-first
+    answer: native ``percentile(value, 0.5)`` evaluated over a bounded
+    ROWS frame — no Python anywhere; the engine buffers exactly the
+    5-row frame per partition position (state O(frame), not
+    O(history)), one shuffle on the user key shared with the count
+    feature. tests/test_udtf_state.py proves the pandas-UDAF spelling
+    (ArrowWindowPython) returns the identical column, pinning that
+    the native path is the right default and the UDAF tier is only a
+    fallback for statistics percentile can't express.
+
+    Exactness: both engines interpolate an even-count median as the
+    mean of the two middle DOUBLES — same IEEE inputs, same output,
+    no rounding applied (single arithmetic op, no reduce-order
+    dependence)."""
+    from pyspark.sql.window import Window
+
+    ev = _t(spark, sf_dir, "events").filter(F.col("user_id") % 7 == 0)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    frame = w.rowsBetween(-4, 0)
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.expr("percentile(value, 0.5)").over(frame).alias("roll_median5"),
+        F.count(F.lit(1)).over(frame).alias("frame_n"),
+    )
+
+
+ORACLE_ROLLING_MEDIAN = """
+SELECT user_id, event_id,
+       median(value) OVER w AS roll_median5,
+       count(*) OVER w AS frame_n
+FROM events WHERE user_id % 7 = 0
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+"""
+
+
 EXT3_REGISTRY = {
     "recursive_ancestors": (q_recursive_ancestors, ORACLE_RECURSIVE_ANCESTORS),
     "lateral_topk_orders": (q_lateral_topk_orders, ORACLE_LATERAL_TOPK),
@@ -1605,6 +1649,7 @@ EXT3_REGISTRY = {
     "state_store_read": (q_state_store_read, ORACLE_STATE_STORE_READ),
     "arrow_group_mad": (q_arrow_group_mad, ORACLE_ARROW_GROUP_MAD),
     "pyds_stream_run": (q_pyds_stream_run, ORACLE_PYDS_STREAM),
+    "rolling_median": (q_rolling_median, ORACLE_ROLLING_MEDIAN),
 }
 
 

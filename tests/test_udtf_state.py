@@ -141,6 +141,46 @@ def test_arrow_group_mad_plan_is_arrow_native(spark, sf_dir):
     assert plan.count("Exchange") == 1  # one shuffle on the group key
 
 
+def test_rolling_median_native_equals_pandas_udaf(spark, sf_dir):
+    """The registry's rolling_median uses NATIVE percentile over a
+    bounded ROWS frame (Spark-first: no Python). This pins that the
+    pandas-UDAF spelling (ArrowWindowPython) computes the identical
+    column — the UDAF tier is only for window statistics percentile
+    can't express."""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+    from pyspark.sql.window import Window
+
+    from kaggle_ecommerce_etl_spark.queries_ext3 import q_rolling_median
+
+    native = {
+        (r["user_id"], r["event_id"]): r["roll_median5"]
+        for r in q_rolling_median(spark, sf_dir).collect()
+    }
+
+    # explicit functionType: `from __future__ import annotations`
+    # stringifies hints, so hint-based eval-type inference can't run
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def med(v):
+        return float(v.median())
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").filter(
+        F.col("user_id") % 7 == 0
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    df = ev.select(
+        "user_id", "event_id", med("value").over(frame).alias("m")
+    )
+    assert "ArrowWindowPython" in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+    udaf = {(r["user_id"], r["event_id"]): r["m"] for r in df.collect()}
+    assert udaf == native
+
+
 def test_state_store_reader_standalone_roundtrip(spark):
     """Independent of the registry fixture: tiny stream, known keys."""
     src = tempfile.mkdtemp(prefix="st_src_")
