@@ -80,6 +80,11 @@ EXTRA = [
     "bitmap_distinct_customers",
     "interval_coverage",
     "sql_udf_chunks",
+    # engine-API wave: Arrow UDTF, applyInArrow kernel, order-statistic
+    # window, streaming pyds + state reader excluded (drain-dominated)
+    "udtf_repeat_runs",
+    "arrow_group_mad",
+    "rolling_median",
 ]
 
 
