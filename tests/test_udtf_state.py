@@ -101,6 +101,55 @@ def test_state_store_read_equals_distinct_keys(spark, sf_dir):
     assert got == want
 
 
+def test_udtf_polymorphic_analyze_schema(spark):
+    """Second UDTF tier: a POLYMORPHIC table function whose output
+    schema is computed at ANALYSIS time from a literal argument
+    (``@staticmethod analyze``) — requested JSON keys become real
+    typed columns Catalyst can prune/filter, instead of a map the
+    caller must dig into. Pins both the derived column names and the
+    extraction values."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructField, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    @udtf
+    class JsonFields:
+        @staticmethod
+        def analyze(props, keys):
+            names = [k.strip() for k in keys.value.split(",")]
+            return AnalyzeResult(
+                StructType(
+                    [StructField(n, StringType()) for n in names]
+                )
+            )
+
+        def eval(self, props, keys):
+            import json
+
+            names = [k.strip() for k in keys.split(",")]
+            try:
+                d = json.loads(props) if props else {}
+            except ValueError:
+                d = {}
+            yield tuple(
+                None if d.get(n) is None else str(d.get(n))
+                for n in names
+            )
+
+    spark.udtf.register("json_fields", JsonFields)
+    out = spark.sql(
+        """SELECT e.event_id, f.* FROM VALUES
+             (1, '{"k": 87}'), (2, NULL), (3, 'not json')
+           AS e(event_id, props),
+           LATERAL json_fields(e.props, 'k,missing') f"""
+    )
+    assert out.columns == ["event_id", "k", "missing"]
+    rows = {r["event_id"]: (r["k"], r["missing"]) for r in out.collect()}
+    assert rows == {1: ("87", None), 2: (None, None), 3: (None, None)}
+    # AnalyzeArgument/AnalyzeResult are the public polymorphism API
+    assert AnalyzeArgument is not None
+
+
 def test_arrow_group_mad_matches_sql_two_pass(spark, sf_dir):
     """Independent in-Spark cross-check: MAD restated as two exact
     interpolated-percentile passes (median per group joined back, then
