@@ -85,6 +85,12 @@ EXTRA = [
     "udtf_repeat_runs",
     "arrow_group_mad",
     "rolling_median",
+    # fifth wave: corpus analytics (drift, BPE statistic, novelty)
+    "source_token_drift",
+    "bpe_pair_counts",
+    "ngram_novelty",
+    "char_entropy",
+    "source_quota_cap",
 ]
 
 

@@ -1589,7 +1589,15 @@ DRIVER_WINDOW = (
     "pyds_stream_run", "jdbc_roundtrip",
     "market_share", "returned_revenue", "salted_skew_join",
     "hierarchy_rollup", "resample_gapfill", "schema_drift_merge",
-    "streaming_upsert_run", "streaming_window_run",
+    "streaming_upsert_run",
+    # fifth-wave corpus-analytics family (token-distribution drift —
+    # integer-exact TV distance; no sibling anywhere in CORRECTNESS
+    # history). Takes the slot of streaming_window_run, whose
+    # streaming family keeps FOUR in-window representatives
+    # (events_tumbling anchor, streaming_upsert_run,
+    # stream_stream_join_run, pyds_stream_run); it stays locally
+    # verified (ORACLE_LOCAL_r04.txt) and rotates back in r5.
+    "source_token_drift",
     # fourth-wave families (new this round, no green sibling anywhere):
     # recursive CTE closure, sketch-exactness gates (heavy_hitters
     # reps approx_top_k; hll/theta/quantile gates rotate r5), custom

@@ -1663,3 +1663,25 @@ def _push_into_ext() -> None:
 
 
 _push_into_ext()
+
+
+def _append_ext4() -> None:
+    # bottom import chaining to the fifth wave — same mid-import guard
+    # as queries_ext2._append_ext3: if queries_ext4 is the module being
+    # imported right now, its own bottom-of-module push completes the
+    # merge once EXT4_REGISTRY exists.
+    import sys
+
+    mod = sys.modules.get("kaggle_ecommerce_etl_spark.queries_ext4")
+    if mod is not None and not hasattr(mod, "EXT4_REGISTRY"):
+        return
+    from kaggle_ecommerce_etl_spark.queries_ext4 import EXT4_REGISTRY
+
+    from kaggle_ecommerce_etl_spark import queries as _q
+    from kaggle_ecommerce_etl_spark import queries_ext as _qx
+
+    _qx.EXT_REGISTRY.update(EXT4_REGISTRY)
+    _q._merge_extensions()
+
+
+_append_ext4()

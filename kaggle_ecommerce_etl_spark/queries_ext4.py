@@ -1,0 +1,343 @@
+"""Fifth query wave: corpus analytics for training-data curation —
+the statistics a 100 TB pretraining pipeline computes BETWEEN dedup
+and packing, none of which the registry covered yet:
+
+- distribution drift between corpus slices (total-variation distance
+  over token distributions, integer/decimal-exact — the snapshot
+  regression gate for a recurring crawl);
+- adjacent-pair frequency counting (the inner statistic of BPE
+  tokenizer training, i.e. one merge-selection step at corpus scale);
+- per-source quota sampling (domain caps — the classic crawl
+  rebalancing step — via a portable md5 ranking both engines compute
+  identically);
+- character-distribution entropy (cheap gibberish/boilerplate signal
+  complementing the token-level quality_score);
+- cross-document n-gram novelty (fraction of a doc's trigrams unique
+  to it in the corpus — the inverse of boilerplate coverage; the
+  within-doc cousin is `repetition_ratio`).
+
+Reference parity: the reference engine (eager pandas, transform.py)
+has no corpus-statistics surface; this module belongs to SURVEY §2's
+"training-data pipeline at 100 TB" mandate. Exactness posture follows
+the decimal-hardening rule proven in round 4 (quality_score ULP
+incident): every ranking / comparison column is integer or DECIMAL;
+doubles appear only where values are transcendental (entropy logs,
+where no exact rounding boundary exists).
+
+Same determinism rules as queries.py: total-order tiebreaks, aliases
+matching the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.queries_ext import _t
+
+
+# --------------------------------------------------------------------------
+# corpus drift: total-variation distance between two source slices
+# --------------------------------------------------------------------------
+
+
+def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution drift between two corpus slices (src0 vs
+    src1): the top-20 drifted tokens plus the exact total-variation
+    numerator/denominator.
+
+    TV(P,Q) = ½ Σ_t |P(t) − Q(t)| with P(t)=c0/T0, Q(t)=c1/T1 is
+    computed WITHOUT any floating point: per token the drift
+    numerator |c0·T1 − c1·T0| is a DECIMAL(18,0)×DECIMAL(18,0)
+    product (exact internally at any corpus size), and the query
+    returns Σ numerator and the 2·T0·T1 denominator, so TV itself is
+    the caller's one division. A double formulation could land on a
+    rounding boundary (TV is rational); the integer pair cannot drift
+    between engines. Output columns are BIGINT (exact while slice
+    sizes stay ≤ ~1.5e9 tokens — pandas renders wide decimals
+    asymmetrically across engines); past that, read the pre-cast
+    decimal columns instead.
+
+    Plan shape: one explode+groupBy over the two slices (map-side
+    combined), a 1-row totals aggregate broadcast-cross-joined back
+    (benign bnlj, same pattern as tfidf's n_docs), a second 1-row
+    aggregate for Σ drift; Catalyst reuses the counts exchange for
+    both branches, so the corpus is scanned once. Top-20 by
+    (drift desc, tok) is TakeOrdered — no global sort."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("c0"),
+        F.sum((F.col("source") == "src1").cast("long")).alias("c1"),
+    )
+    totals = counts.agg(
+        F.sum("c0").cast("decimal(18,0)").alias("t0"),
+        F.sum("c1").cast("decimal(18,0)").alias("t1"),
+    )
+    drift = counts.crossJoin(F.broadcast(totals)).select(
+        "tok",
+        "c0",
+        "c1",
+        F.abs(
+            F.col("c0").cast("decimal(18,0)") * F.col("t1")
+            - F.col("c1").cast("decimal(18,0)") * F.col("t0")
+        )
+        .cast("long")
+        .alias("drift_num"),
+        (F.lit(2).cast("decimal(18,0)") * F.col("t0") * F.col("t1"))
+        .cast("long")
+        .alias("tv_den"),
+    )
+    tv = drift.agg(F.sum("drift_num").alias("tv_num"))
+    return (
+        drift.crossJoin(F.broadcast(tv))
+        .orderBy(F.col("drift_num").desc(), F.col("tok").asc())
+        .limit(20)
+        .select("tok", "c0", "c1", "drift_num", "tv_num", "tv_den")
+    )
+
+
+ORACLE_SOURCE_TOKEN_DRIFT = """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE source IN ('src0', 'src1')
+),
+counts AS (
+  SELECT tok,
+         SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c0,
+         SUM(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS c1
+  FROM toks WHERE tok <> '' GROUP BY tok
+),
+totals AS (
+  SELECT CAST(SUM(c0) AS DECIMAL(18,0)) AS t0,
+         CAST(SUM(c1) AS DECIMAL(18,0)) AS t1
+  FROM counts
+),
+drift AS (
+  SELECT tok, CAST(c0 AS BIGINT) AS c0, CAST(c1 AS BIGINT) AS c1,
+         CAST(abs(CAST(c0 AS DECIMAL(18,0)) * t1
+                  - CAST(c1 AS DECIMAL(18,0)) * t0) AS BIGINT)
+           AS drift_num,
+         CAST(2 * t0 * t1 AS BIGINT) AS tv_den
+  FROM counts CROSS JOIN totals
+),
+tv AS (SELECT CAST(SUM(drift_num) AS BIGINT) AS tv_num FROM drift)
+SELECT tok, c0, c1, drift_num, tv_num, tv_den
+FROM drift CROSS JOIN tv
+ORDER BY drift_num DESC, tok LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# BPE pair statistics: adjacent-pair collection frequency
+# --------------------------------------------------------------------------
+
+
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent word-pair collection frequency, top-30 — the statistic
+    a BPE/WordPiece trainer maximises at every merge step, computed at
+    corpus scale as pure array expressions (no UDF): per doc the
+    ordered token list yields size−1 overlapping pairs via
+    transform(sequence(...)), exploded and counted with map-side
+    combine; top-30 by (count desc, pair) is TakeOrdered. Unlike
+    `bigram_doc_freq` (DISTINCT per-doc document frequency) this
+    counts every occurrence — the BPE training signal. The full merge
+    LOOP (argmax → merge → recount) is
+    `functions.bpe.bpe_learn` (iterative; pytest-verified against a
+    naive reference — not SQL-expressible)."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = F.when(
+        F.size(t) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - 1),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
+        .limit(30)
+    )
+
+
+ORACLE_BPE_PAIR_COUNTS = """
+WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+p AS (SELECT unnest(CASE WHEN len(t) >= 2
+                         THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
+                         ELSE [] END) AS pair
+      FROM t)
+SELECT pair, count(*) AS n_occurrences
+FROM p GROUP BY pair ORDER BY n_occurrences DESC, pair LIMIT 30
+"""
+
+
+# --------------------------------------------------------------------------
+# per-source quota sampling (domain caps)
+# --------------------------------------------------------------------------
+
+
+def q_source_quota_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cap every source (domain) at 10 documents, chosen by a
+    DETERMINISTIC portable hash ranking — the crawl-rebalancing step
+    that stops a single giant domain from dominating the mix.
+    Ordering key is (md5(doc_id), doc_id): md5 hex strings compare
+    identically in Spark and DuckDB, so the kept set is reproducible
+    across engines and runs with no sampling state. One window over
+    one hash partitioning of `source`; a hot source is still a single
+    pass (same posture as conflict_split — salt the rank if a domain
+    ever dominates a partition at 100 TB)."""
+    d = _t(spark, sf_dir, "documents")
+    h = F.md5(F.col("doc_id").cast("string").cast("binary"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc())
+    return (
+        d.select(
+            "doc_id",
+            "source",
+            "lang",
+            "n_chars",
+            F.row_number().over(w).cast("int").alias("samp_rank"),
+        )
+        .filter(F.col("samp_rank") <= 10)
+    )
+
+
+ORACLE_SOURCE_QUOTA_CAP = """
+WITH r AS (
+  SELECT doc_id, source, lang, n_chars,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY source
+           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INT) AS samp_rank
+  FROM documents)
+SELECT doc_id, source, lang, n_chars, samp_rank
+FROM r WHERE samp_rank <= 10
+"""
+
+
+# --------------------------------------------------------------------------
+# character-distribution entropy
+# --------------------------------------------------------------------------
+
+
+def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-unigram Shannon entropy (bits) — the
+    cheapest gibberish/degeneracy detector (near-zero for 'aaaa…',
+    ~4.1 for natural English): H = log2(L) − (Σ c·log2 c)/L over
+    per-char counts c. Two map-side-combined aggregations (doc×char,
+    then doc), pure expressions. Doubles are safe HERE and only here:
+    the log terms are transcendental, so the 6-decimal rounding can
+    never sit on an exact engine-dependent boundary (contrast
+    quality_score's integer-rational formulation, which a double had
+    to abandon after a .00005-boundary ULP flip)."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
+    )
+    per_char = chars.groupBy("doc_id", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_char.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars_seen"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.round(
+                F.log2(F.sum("c").cast("double"))
+                - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+                / F.sum("c").cast("double"),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
+ORACLE_CHAR_ENTROPY = """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+pc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars_seen,
+       COUNT(*) AS n_distinct_chars,
+       round(log2(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+FROM pc GROUP BY doc_id
+"""
+
+
+# --------------------------------------------------------------------------
+# cross-document n-gram novelty
+# --------------------------------------------------------------------------
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document trigram novelty: of the doc's DISTINCT word
+    trigrams, how many appear in no other document. Low novelty =
+    boilerplate / near-duplicate leftovers that slipped past pair
+    dedup; the within-doc cousin is `repetition_ratio`. Integer-exact
+    outputs (counts only — the ratio is the caller's division, kept
+    off the correctness surface because it is rational). Two-phase:
+    distinct doc-trigram pairs once (exchange reused for both the DF
+    aggregate and the join-back), trigram DF, join + per-doc agg —
+    shuffle volume ∝ distinct trigram occurrences, never n²."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import shingles_expr
+
+    d = _t(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(shingles_expr(F.col("text"), n=3)).alias("tri")
+    )
+    df = sh.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "tri")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trigrams"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+        )
+    )
+
+
+ORACLE_NGRAM_NOVELTY = """
+WITH t AS (SELECT doc_id,
+                  string_split_regex(lower(trim(text)), '\\s+') AS t
+           FROM documents),
+s AS (SELECT doc_id,
+             list_distinct([array_to_string(t[i:i+2], ' ')
+                            for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
+      FROM t),
+e AS (SELECT doc_id, unnest(sh) AS tri FROM s),
+df AS (SELECT tri, count(*) AS df FROM e GROUP BY tri)
+SELECT doc_id, count(*) AS n_trigrams,
+       CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+FROM e JOIN df USING (tri)
+GROUP BY doc_id
+"""
+
+
+EXT4_REGISTRY = {
+    "source_token_drift": (q_source_token_drift, ORACLE_SOURCE_TOKEN_DRIFT),
+    "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
+    "source_quota_cap": (q_source_quota_cap, ORACLE_SOURCE_QUOTA_CAP),
+    "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
+    "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+}
+
+
+def _push_into_ext() -> None:
+    """Import-order-proof merge (mirrors queries_ext3._push_into_ext)."""
+    from kaggle_ecommerce_etl_spark import queries as _q
+    from kaggle_ecommerce_etl_spark import queries_ext as _qx
+
+    _qx.EXT_REGISTRY.update(EXT4_REGISTRY)
+    _q._merge_extensions()
+
+
+_push_into_ext()

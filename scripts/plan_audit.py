@@ -63,6 +63,10 @@ BNLJ_OK = {
     "theta_set_algebra": "1-row exact × 1-row sketch-estimate gate join",
     "hll_union_gate": "1-row exact × 1-row sketch-estimate gate join",
     "kll_quantile_gate": "1-row exact × 1-row sketch-estimate gate join",
+    # drift = vocab counts × 1-row slice totals, then × the 1-row TV
+    # numerator — both broadcast sides are single-row aggregates by
+    # construction at any scale (same family as tfidf's n_docs join).
+    "source_token_drift": "1-row slice-totals and 1-row TV-sum broadcasts",
 }
 
 #: queries allowed Arrow-batched python nodes (the documented
