@@ -150,7 +150,15 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     `functions.bpe.bpe_learn` (iterative; pytest-verified against a
     naive reference — not SQL-expressible)."""
     d = _t(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # materialize the token array through its OWN projection first:
+    # referencing the split expression from inside the transform
+    # lambda re-evaluates it PER PAIR (CSE does not reach inside
+    # higher-order functions — the minhash_base_expr lesson; measured
+    # 5× on this query at sf0.1)
+    toks = d.select(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+    )
+    t = F.col("t")
     pairs = F.when(
         F.size(t) >= 2,
         F.transform(
@@ -159,7 +167,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return (
-        d.select(F.explode(pairs).alias("pair"))
+        toks.select(F.explode(pairs).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .orderBy(F.col("n_occurrences").desc(), F.col("pair").asc())
@@ -287,13 +295,31 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     off the correctness surface because it is rational). Two-phase:
     distinct doc-trigram pairs once (exchange reused for both the DF
     aggregate and the join-back), trigram DF, join + per-doc agg —
-    shuffle volume ∝ distinct trigram occurrences, never n²."""
-    from kaggle_ecommerce_etl_spark.functions.dedup_ml import shingles_expr
+    shuffle volume ∝ distinct trigram occurrences, never n².
 
+    Shape choice, measured at sf0.1: a count-over-Window(tri) variant
+    is 1.04 s vs 1.72 s for this agg+join — but the window sorts each
+    trigram's rows in ONE task with no AQE skew handling, so a
+    boilerplate mega-trigram at 100 TB serializes; the agg collapses
+    hot keys map-side and the join-back is AQE-skew-splittable. The
+    slower-locally shape is the one that survives scale."""
     d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id", F.explode(shingles_expr(F.col("text"), n=3)).alias("tri")
+    # same shingle contract as functions.dedup_ml.shingles_expr(n=3)
+    # (short texts yield one covering shingle), but built over a
+    # token array MATERIALIZED through its own projection — the
+    # in-lambda split re-evaluation cost (CSE-in-HOF) was 5× here
+    toks = d.select(
+        "doc_id",
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
     )
+    t = F.col("t")
+    tris = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(t) - 2, F.lit(1))),
+            lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
+        )
+    )
+    sh = toks.select("doc_id", F.explode(tris).alias("tri"))
     df = sh.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
     return (
         sh.join(df, "tri")

@@ -341,3 +341,45 @@ def test_udtf_repeat_runs_property(spark, docs):
             i,
             toks,
         )
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(["a", "b", "c", "ab"]), min_size=0, max_size=12),
+        min_size=1,
+        max_size=40,
+    ),
+    st.sampled_from([("a", "b"), ("a", "a"), ("b", "a"), ("a", "ab"), ("ab", "a")]),
+)
+def test_bpe_merge_fold_matches_two_pointer(spark, symss, pair):
+    """The single-pass `aggregate` HOF fold implements EXACTLY the
+    textbook leftmost non-overlapping merge (two-pointer reference),
+    including pathological self-pairs (a,a) and pairs whose merged
+    symbol collides with an existing symbol ('a'+'b' == 'ab')."""
+    from kaggle_ecommerce_etl_spark.functions.bpe import _merge_fold
+
+    a, b = pair
+
+    def naive(syms: list[str]) -> list[str]:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        return out
+
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(symss)], "id long, syms array<string>"
+    )
+    got = {
+        r.id: r.m
+        for r in df.select(
+            "id", _merge_fold(F.col("syms"), a, b).alias("m")
+        ).collect()
+    }
+    assert got == {i: naive(s) for i, s in enumerate(symss)}
