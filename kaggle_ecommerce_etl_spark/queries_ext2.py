@@ -1566,7 +1566,13 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     window key would be a 128-bit span hash to shrink shuffle width —
     same plan shape."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    # token array MATERIALIZED through its own projection: slicing the
+    # split expression inside the transform lambda re-evaluates it per
+    # span (CSE-in-HOF — the shingles_expr/minhash lesson)
+    dt = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks")
+    )
+    toks = F.col("__toks")
     spans = F.transform(
         F.sequence(
             F.lit(0), F.ceil(F.size(toks) / _SPAN_W).cast("int") - 1
@@ -1578,7 +1584,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("span"),
         ),
     )
-    sp = d.select("doc_id", F.explode(spans).alias("s")).select(
+    sp = dt.select("doc_id", F.explode(spans).alias("s")).select(
         "doc_id", F.col("s.pos").alias("pos"), F.col("s.span").alias("span")
     )
     w = Window.partitionBy("span").orderBy("doc_id", "pos")

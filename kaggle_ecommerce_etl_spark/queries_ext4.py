@@ -245,7 +245,10 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality_score's integer-rational formulation, which a double had
     to abandon after a .00005-boundary ULP flip)."""
     d = _t(spark, sf_dir, "documents")
-    chars = d.select(
+    # length>0 guard on BOTH sides: Spark split('','') → [] but DuckDB
+    # string_split('','') → [''] — an empty document would otherwise
+    # produce one phantom ch='' row only in the oracle
+    chars = d.filter(F.length("text") > 0).select(
         "doc_id", F.explode(F.split(F.col("text"), "")).alias("ch")
     )
     per_char = chars.groupBy("doc_id", "ch").agg(
@@ -269,6 +272,7 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_CHAR_ENTROPY = """
 WITH chars AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+  WHERE length(text) > 0
 ),
 pc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
 SELECT doc_id,
