@@ -91,6 +91,8 @@ EXTRA = [
     "ngram_novelty",
     "char_entropy",
     "source_quota_cap",
+    "script_profile",
+    "token_entropy_by_source",
 ]
 
 

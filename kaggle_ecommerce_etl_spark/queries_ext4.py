@@ -30,7 +30,7 @@ matching the oracle exactly.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kaggle_ecommerce_etl_spark.queries_ext import _t
@@ -352,12 +352,173 @@ GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------------
+# unicode script profile
+# --------------------------------------------------------------------------
+
+
+def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-class census (latin / digit / CJK /
+    whitespace / other) — the script-mix signal multilingual curation
+    filters on (e.g. "mostly-CJK doc tagged en" or "half the bytes
+    are neither letters nor spaces"). Pure regexp expressions inside
+    whole-stage codegen; integer-exact. The Spark pattern uses Java
+    ``\\uXXXX`` escapes and the oracle RE2's ``\\x{XXXX}`` — same
+    character classes, engine-native spelling."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+
+    def n_of(pattern: str) -> Column:
+        return F.length(F.regexp_replace(F.col("text"), pattern, ""))
+
+    total = F.length("text")
+    latin = n_of(r"[^A-Za-z]")
+    digit = n_of(r"[^0-9]")
+    cjk = n_of("[^一-鿿]")
+    space = n_of(r"[^ \t\n\r]")
+    return d.select(
+        "doc_id",
+        "lang",
+        total.alias("n_chars_total"),
+        latin.alias("n_latin"),
+        digit.alias("n_digit"),
+        cjk.alias("n_cjk"),
+        space.alias("n_space"),
+        (total - latin - digit - cjk - space).alias("n_other"),
+    )
+
+
+ORACLE_SCRIPT_PROFILE = r"""
+SELECT doc_id, lang,
+       length(text) AS n_chars_total,
+       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin,
+       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
+       length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+       length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS n_space,
+       length(text)
+         - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+         - length(regexp_replace(text, '[^0-9]', '', 'g'))
+         - length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+         - length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS n_other
+FROM documents WHERE length(text) > 0
+"""
+
+
+# --------------------------------------------------------------------------
+# corpus token entropy per source
+# --------------------------------------------------------------------------
+
+
+def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy PER SOURCE — the corpus
+    diversity metric (low entropy = a domain pumping templated text;
+    the drift query's distributional cousin). Two map-side-combined
+    aggregations ((source, tok) → source); doubles allowed for the
+    same reason as char_entropy: log terms are transcendental, the
+    6-decimal round has no engine-dependent boundary."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    per_tok = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
+    return per_tok.groupBy("source").agg(
+        F.sum("c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct_tokens"),
+        F.round(
+            F.log2(F.sum("c").cast("double"))
+            - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
+            / F.sum("c").cast("double"),
+            6,
+        ).alias("token_entropy"),
+    )
+
+
+ORACLE_TOKEN_ENTROPY_BY_SOURCE = """
+WITH toks AS (
+  SELECT source,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+pt AS (SELECT source, tok, count(*) AS c FROM toks
+       WHERE tok <> '' GROUP BY source, tok)
+SELECT source,
+       CAST(SUM(c) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_distinct_tokens,
+       round(log2(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS token_entropy
+FROM pt GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# stopword coverage per language (corpus-level lang-id validation)
+# --------------------------------------------------------------------------
+
+
+def q_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language stopword coverage: of all tokens in docs TAGGED a
+    given lang, what share are that lang's own stopwords (the
+    functions.text.STOPWORDS lists the lang-id heuristic votes with).
+    The corpus-level sanity check of the tag column: a lang whose
+    own-stopword hit count collapses is mistagged upstream.
+    Integer-exact outputs (hits, tokens); one explode + one agg."""
+    from kaggle_ecommerce_etl_spark.functions.text import STOPWORDS
+
+    d = _t(spark, sf_dir, "documents").filter(
+        F.col("lang").isin(*STOPWORDS.keys())
+    )
+    toks = d.select(
+        "lang",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    own = F.lit(False)
+    for lang, words in STOPWORDS.items():
+        own = F.when(
+            F.col("lang") == lang, F.col("tok").isin(*words)
+        ).otherwise(own)
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(own.cast("long")).alias("n_own_stopwords"),
+    )
+
+
+def _stopword_coverage_oracle() -> str:
+    from kaggle_ecommerce_etl_spark.functions.text import STOPWORDS
+
+    cases = "\n         ".join(
+        "WHEN lang = '{}' THEN tok IN ({})".format(
+            lang, ", ".join(f"'{w}'" for w in words)
+        )
+        for lang, words in STOPWORDS.items()
+    )
+    langs = ", ".join(f"'{l}'" for l in STOPWORDS)
+    return f"""
+WITH toks AS (
+  SELECT lang,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE lang IN ({langs})
+)
+SELECT lang, count(*) AS n_tokens,
+       CAST(SUM(CASE {cases}
+                ELSE FALSE END::INT) AS BIGINT) AS n_own_stopwords
+FROM toks WHERE tok <> ''
+GROUP BY lang
+"""
+
+
 EXT4_REGISTRY = {
     "source_token_drift": (q_source_token_drift, ORACLE_SOURCE_TOKEN_DRIFT),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "source_quota_cap": (q_source_quota_cap, ORACLE_SOURCE_QUOTA_CAP),
     "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    "script_profile": (q_script_profile, ORACLE_SCRIPT_PROFILE),
+    "token_entropy_by_source": (
+        q_token_entropy_by_source,
+        ORACLE_TOKEN_ENTROPY_BY_SOURCE,
+    ),
+    "stopword_coverage": (q_stopword_coverage, _stopword_coverage_oracle()),
 }
 
 

@@ -190,3 +190,68 @@ def test_bpe_merge_fold_overlap_contract(spark):
     df = spark.createDataFrame([(["a", "a", "a"],)], "syms array<string>")
     out = df.select(_merge_fold(F.col("syms"), "a", "a").alias("m")).collect()
     assert out[0].m == ["aa", "a"]
+
+
+def test_script_profile_matches_naive(spark, sf_dir):
+    got = {r.doc_id: r for r in q4.q_script_profile(spark, sf_dir).collect()}
+    texts = _texts(spark, sf_dir)
+    assert set(got) == {d for d, t in texts.items() if len(t) > 0}
+    for doc_id in list(got)[:50]:
+        t = texts[doc_id]
+        r = got[doc_id]
+        n_latin = sum(1 for c in t if c.isascii() and c.isalpha())
+        n_digit = sum(1 for c in t if c.isascii() and c.isdigit())
+        n_cjk = sum(1 for c in t if "一" <= c <= "鿿")
+        n_space = sum(1 for c in t if c in " \t\n\r")
+        assert (r.n_chars_total, r.n_latin, r.n_digit, r.n_cjk, r.n_space) == (
+            len(t), n_latin, n_digit, n_cjk, n_space
+        )
+        assert r.n_other == len(t) - n_latin - n_digit - n_cjk - n_space
+
+
+def test_token_entropy_by_source_matches_naive(spark, sf_dir):
+    import math
+    from collections import Counter
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "source", "text"
+    ).collect()
+    per_src: dict[str, Counter] = {}
+    for r in rows:
+        per_src.setdefault(r.source, Counter()).update(_toks(r.text))
+    got = {
+        r.source: r
+        for r in q4.q_token_entropy_by_source(spark, sf_dir).collect()
+    }
+    assert set(got) == set(per_src)
+    for src, c in per_src.items():
+        n = sum(c.values())
+        h = math.log2(n) - sum(v * math.log2(v) for v in c.values()) / n
+        assert got[src].n_tokens == n
+        assert got[src].n_distinct_tokens == len(c)
+        assert abs(got[src].token_entropy - h) < 1e-5
+
+
+def test_stopword_coverage_matches_naive(spark, sf_dir):
+    from kaggle_ecommerce_etl_spark.functions.text import STOPWORDS
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "text"
+    ).collect()
+    want: dict[str, list[int]] = {}
+    for r in rows:
+        if r.lang not in STOPWORDS:
+            continue
+        toks = _toks(r.text)
+        agg = want.setdefault(r.lang, [0, 0])
+        agg[0] += len(toks)
+        agg[1] += sum(1 for t in toks if t in STOPWORDS[r.lang])
+    got = {r.lang: r for r in q4.q_stopword_coverage(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for lang, (n, hits) in want.items():
+        assert (got[lang].n_tokens, got[lang].n_own_stopwords) == (n, hits)
+    # the signal is live where the synthetic corpus can show it: the
+    # wordlist-generated text is English-ish regardless of tag, so
+    # only 'en' is guaranteed nonzero coverage (which is precisely the
+    # mistag smell the metric exists to surface for the others)
+    assert got["en"].n_own_stopwords > 0
