@@ -507,12 +507,106 @@ GROUP BY lang
 """
 
 
+# --------------------------------------------------------------------------
+# Spark 4 SQL pipe syntax
+# --------------------------------------------------------------------------
+
+
+def q_pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A revenue rollup written in Spark 4 SQL PIPE SYNTAX (`|>`) —
+    the linear FROM→WHERE→AGGREGATE→ORDER form. The pipe form is
+    sugar the parser lowers to the identical logical plan as the
+    nested-SQL oracle (same scan, same partial/final HashAggregate
+    pair, filters pushed to the parquet scan), so this pins that the
+    modern-SQL entry point hits the exact same engine path. Decimal
+    sums: order-independent arithmetic at any scale."""
+    from kaggle_ecommerce_etl_spark.queries_ext3 import _view
+
+    li = _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        f"""
+        FROM {li}
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+                 AND l_shipdate < DATE '1997-01-01'
+        |> AGGREGATE
+             COUNT(*) AS n_items,
+             CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                 AS DECIMAL(23,8))), 2)
+                  AS DOUBLE) AS revenue
+           GROUP BY l_returnflag
+        |> ORDER BY l_returnflag
+        """
+    )
+
+
+ORACLE_PIPE_SYNTAX_REVENUE = """
+SELECT l_returnflag, COUNT(*) AS n_items,
+       CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                           AS DECIMAL(23,8))), 2)
+            AS DOUBLE) AS revenue
+FROM lineitem
+WHERE l_shipdate >= DATE '1996-01-01' AND l_shipdate < DATE '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# DataFrame.transpose (Spark 4)
+# --------------------------------------------------------------------------
+
+
+def q_metrics_transpose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-status metrics flipped metric-per-row via Spark 4
+    ``DataFrame.transpose()`` — the report layout every metrics
+    dashboard wants. Transpose is only legal on DIMENSION-SIZED
+    frames (the header column's values become column names, so
+    cardinality must be bounded); here the input is the 3-row
+    per-status aggregate, sorted so the derived column order is
+    deterministic. Metrics are integer cents (round-then-cast, the
+    repo's exact-money convention) and all three are LONG, so
+    transpose's common-type rule keeps BIGINT — no float anywhere."""
+    o = _t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    per_status = (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum(cents).alias("total_cents"),
+            F.max(cents).alias("max_cents"),
+        )
+        .orderBy("o_orderstatus")
+    )
+    return per_status.transpose()
+
+
+def _metrics_transpose_oracle() -> str:
+    # the transposed layout rebuilt with conditional aggregation; the
+    # statuses are the TPC-H fixed set {F, O, P}
+    rows = []
+    for metric in ("n_orders", "total_cents", "max_cents"):
+        agg = {
+            "n_orders": "COUNT(*)",
+            "total_cents": "SUM(CAST(round(o_totalprice * 100) AS BIGINT))",
+            "max_cents": "MAX(CAST(round(o_totalprice * 100) AS BIGINT))",
+        }[metric]
+        cols = ", ".join(
+            f"CAST(({agg} FILTER (WHERE o_orderstatus = '{s}')) AS BIGINT)"
+            f' AS "{s}"'
+            for s in ("F", "O", "P")
+        )
+        rows.append(f"SELECT '{metric}' AS key, {cols} FROM orders")
+    return "\nUNION ALL\n".join(rows)
+
+
 EXT4_REGISTRY = {
     "source_token_drift": (q_source_token_drift, ORACLE_SOURCE_TOKEN_DRIFT),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "source_quota_cap": (q_source_quota_cap, ORACLE_SOURCE_QUOTA_CAP),
     "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    "pipe_syntax_revenue": (q_pipe_syntax_revenue, ORACLE_PIPE_SYNTAX_REVENUE),
+    "metrics_transpose": (q_metrics_transpose, _metrics_transpose_oracle()),
     "script_profile": (q_script_profile, ORACLE_SCRIPT_PROFILE),
     "token_entropy_by_source": (
         q_token_entropy_by_source,

@@ -255,3 +255,45 @@ def test_stopword_coverage_matches_naive(spark, sf_dir):
     # only 'en' is guaranteed nonzero coverage (which is precisely the
     # mistag smell the metric exists to surface for the others)
     assert got["en"].n_own_stopwords > 0
+
+
+def test_pipe_syntax_lowers_to_same_plan_and_rows(spark, sf_dir):
+    """The |> form must be pure sugar: same rows as the nested-SQL
+    equivalent AND the same optimized plan shape (one scan with a
+    pushed date filter, one aggregate pair — no extra exchange)."""
+    from kaggle_ecommerce_etl_spark.queries_ext3 import _view
+
+    got = q4.q_pipe_syntax_revenue(spark, sf_dir)
+    li = _view(spark, sf_dir, "lineitem")
+    want = spark.sql(f"""
+        SELECT l_returnflag, COUNT(*) AS n_items,
+               CAST(round(SUM(CAST(l_extendedprice * (1 - l_discount)
+                                   AS DECIMAL(23,8))), 2)
+                    AS DOUBLE) AS revenue
+        FROM {li}
+        WHERE l_shipdate >= DATE '1996-01-01'
+          AND l_shipdate < DATE '1997-01-01'
+        GROUP BY l_returnflag ORDER BY l_returnflag
+    """)
+    assert got.collect() == want.collect()
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == want._jdf.queryExecution(
+    ).executedPlan().toString().count("Exchange")
+
+
+def test_metrics_transpose_matches_naive(spark, sf_dir):
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderstatus", "o_totalprice"
+    ).collect()
+    agg: dict[str, list] = {}
+    for r in rows:
+        agg.setdefault(r.o_orderstatus, []).append(round(r.o_totalprice * 100))
+    got = {r.key: r for r in q4.q_metrics_transpose(spark, sf_dir).collect()}
+    assert set(got) == {"n_orders", "total_cents", "max_cents"}
+    statuses = sorted(agg)
+    # transpose derived one column per status, plus the key column
+    assert sorted(c for c in got["n_orders"].asDict() if c != "key") == statuses
+    for s in statuses:
+        assert got["n_orders"][s] == len(agg[s])
+        assert got["total_cents"][s] == sum(agg[s])
+        assert got["max_cents"][s] == max(agg[s])
