@@ -61,9 +61,15 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Plan shape: one explode+groupBy over the two slices (map-side
     combined), a 1-row totals aggregate broadcast-cross-joined back
     (benign bnlj, same pattern as tfidf's n_docs), a second 1-row
-    aggregate for Σ drift; Catalyst reuses the counts exchange for
-    both branches, so the corpus is scanned once. Top-20 by
-    (drift desc, tok) is TakeOrdered — no global sort."""
+    aggregate for Σ drift. The counts subtree appears in three
+    branches and Catalyst does NOT dedupe it statically (verified: 4
+    pruned scans, 0 ReusedExchange) — kept LAZY anyway because the
+    scan is filtered+column-pruned and an eager persist at
+    plan-construction time is the pattern the r3 review rejected for
+    cosine_self_topk; a production pipeline materialises the
+    vocab-sized counts frame once and derives drift/totals/tv from
+    it. Top-20 by (drift desc, tok) is TakeOrdered — no global
+    sort."""
     d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
     toks = d.select(
         "source",
@@ -73,6 +79,18 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("source") == "src0").cast("long")).alias("c0"),
         F.sum((F.col("source") == "src1").cast("long")).alias("c1"),
     )
+    return token_drift_from_counts(counts)
+
+
+def token_drift_from_counts(counts: DataFrame, top_k: int = 20) -> DataFrame:
+    """The production entry point for TV drift: takes a (tok, c0, c1)
+    counts frame and returns the top-k drifted tokens with the exact
+    TV numerator/denominator pair. At 100 TB the caller builds
+    ``counts`` once, ``persist()``s it (it is vocab-sized, ≪ corpus),
+    and every statistic below reads the cached frame — this function
+    deliberately owns everything downstream of the one expensive
+    aggregation so the persist boundary is a single line in the
+    caller."""
     totals = counts.agg(
         F.sum("c0").cast("decimal(18,0)").alias("t0"),
         F.sum("c1").cast("decimal(18,0)").alias("t1"),
@@ -95,7 +113,7 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         drift.crossJoin(F.broadcast(tv))
         .orderBy(F.col("drift_num").desc(), F.col("tok").asc())
-        .limit(20)
+        .limit(top_k)
         .select("tok", "c0", "c1", "drift_num", "tv_num", "tv_den")
     )
 

@@ -297,3 +297,56 @@ def test_metrics_transpose_matches_naive(spark, sf_dir):
         assert got["n_orders"][s] == len(agg[s])
         assert got["total_cents"][s] == sum(agg[s])
         assert got["max_cents"][s] == max(agg[s])
+
+
+def test_bpe_learn_early_stop_and_empty(spark, sf_dir):
+    """min_freq above every pair count → zero merges, symbols stay
+    single characters; and the loop's argmax matches the naive side's
+    stop decision exactly."""
+    from kaggle_ecommerce_etl_spark.functions.bpe import (
+        bpe_learn,
+        bpe_learn_naive,
+        word_freq_table,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 10
+    )
+    merges, words = bpe_learn(d, n_merges=5, min_freq=10**9)
+    assert merges == []
+    freqs = {r.word: r.freq for r in word_freq_table(d).collect()}
+    assert bpe_learn_naive(freqs, n_merges=5, min_freq=10**9) == []
+    got = {r.word: r.syms for r in words.collect()}
+    assert got == {w: list(w) for w in freqs}
+
+    # an empty corpus yields no merges and an empty words frame
+    empty = spark.createDataFrame([], "text string")
+    merges2, words2 = bpe_learn(empty, n_merges=3, min_freq=1)
+    assert merges2 == [] and words2.count() == 0
+
+
+def test_token_drift_persisted_counts_identical(spark, sf_dir):
+    """The production path (persisted counts frame fed to
+    token_drift_from_counts) returns byte-identical rows to the
+    registry query's lazy composition."""
+    from kaggle_ecommerce_etl_spark.queries_ext4 import (
+        token_drift_from_counts,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("source").isin("src0", "src1")
+    )
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("tok").agg(
+        F.sum((F.col("source") == "src0").cast("long")).alias("c0"),
+        F.sum((F.col("source") == "src1").cast("long")).alias("c1"),
+    ).persist()
+    try:
+        got = token_drift_from_counts(counts).collect()
+        want = q4.q_source_token_drift(spark, sf_dir).collect()
+        assert got == want
+    finally:
+        counts.unpersist()
