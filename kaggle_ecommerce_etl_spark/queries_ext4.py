@@ -315,9 +315,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup; the within-doc cousin is `repetition_ratio`. Integer-exact
     outputs (counts only — the ratio is the caller's division, kept
     off the correctness surface because it is rational). Two-phase:
-    distinct doc-trigram pairs once (exchange reused for both the DF
-    aggregate and the join-back), trigram DF, join + per-doc agg —
-    shuffle volume ∝ distinct trigram occurrences, never n².
+    distinct doc-trigram pairs, trigram DF, join + per-doc agg —
+    shuffle volume ∝ distinct trigram occurrences, never n². The
+    shingle subtree is built twice in the static plan (2 pruned
+    scans, no ReusedExchange — same Catalyst behavior as
+    source_token_drift); a production run persists the exploded
+    doc-trigram frame once, exactly like the drift counts frame.
 
     Shape choice, measured at sf0.1: a count-over-Window(tri) variant
     is 1.04 s vs 1.72 s for this agg+join — but the window sorts each
