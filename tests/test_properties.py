@@ -383,3 +383,50 @@ def test_bpe_merge_fold_matches_two_pointer(spark, symss, pair):
         ).collect()
     }
     assert got == {i: naive(s) for i, s in enumerate(symss)}
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.tuples(
+            st.text(alphabet="abcde", min_size=1, max_size=3),
+            st.integers(min_value=0, max_value=1000),
+            st.integers(min_value=0, max_value=1000),
+        ),
+        min_size=1,
+        max_size=30,
+    ).filter(
+        lambda rows: sum(r[1] for r in rows) > 0 and sum(r[2] for r in rows) > 0
+    )
+)
+def test_token_drift_integer_math(spark, rows):
+    """token_drift_from_counts reproduces the exact TV numerator /
+    denominator of a pure-Python rational computation on ARBITRARY
+    counts (duplicate tokens merged first — the query's groupBy
+    contract), and respects the (drift desc, tok) total order."""
+    from collections import defaultdict
+
+    from kaggle_ecommerce_etl_spark.queries_ext4 import (
+        token_drift_from_counts,
+    )
+
+    merged: dict[str, list[int]] = defaultdict(lambda: [0, 0])
+    for tok, c0, c1 in rows:
+        merged[tok][0] += c0
+        merged[tok][1] += c1
+    t0 = sum(v[0] for v in merged.values())
+    t1 = sum(v[1] for v in merged.values())
+    tv_num = sum(abs(c0 * t1 - c1 * t0) for c0, c1 in merged.values())
+
+    counts = spark.createDataFrame(
+        [(k, v[0], v[1]) for k, v in merged.items()],
+        "tok string, c0 long, c1 long",
+    )
+    out = token_drift_from_counts(counts).collect()
+    assert all(r.tv_num == tv_num and r.tv_den == 2 * t0 * t1 for r in out)
+    key = [(-r.drift_num, r.tok) for r in out]
+    assert key == sorted(key)
+    drift_by_tok = {r.tok: r.drift_num for r in out}
+    for tok, (c0, c1) in merged.items():
+        if tok in drift_by_tok:
+            assert drift_by_tok[tok] == abs(c0 * t1 - c1 * t0)
