@@ -158,3 +158,34 @@ def bpe_learn_naive(
                     i += 1
             state[w] = out
     return merges
+
+
+def bpe_tokenize(
+    df: DataFrame,
+    merges: list[tuple[str, str]],
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """APPLY learned merges to a corpus: every document's words are
+    re-symbolized by replaying the merge list in training order —
+    the inference half of the train/apply pair (bpe_learn trains).
+    Pure expressions: per word a chain of len(merges) fold passes,
+    flattened back to one token array per document. Zero shuffles —
+    a narrow map over the corpus at any scale; the merge list rides
+    the plan as literals (tokenizers are ≤ ~50k merges; chains that
+    long should precompute a vocab dict and join instead — this
+    expression path is for the distributed-training loop's own
+    inspection scale, ≤ ~100 merges)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    word = F.filter(words, lambda w: w != "")
+
+    def symbolize(w: F.Column) -> F.Column:
+        syms = F.split(w, "")
+        for a, b in merges:
+            syms = _merge_fold(syms, a, b)
+        return syms
+
+    return df.withColumn(
+        out_col,
+        F.flatten(F.transform(word, symbolize)),
+    )

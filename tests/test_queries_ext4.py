@@ -350,3 +350,41 @@ def test_token_drift_persisted_counts_identical(spark, sf_dir):
         assert got == want
     finally:
         counts.unpersist()
+
+
+def test_bpe_tokenize_applies_merges_exactly(spark, sf_dir):
+    """The apply half (bpe_tokenize) replays learned merges in training
+    order and matches a naive per-word re-application on every doc."""
+    from kaggle_ecommerce_etl_spark.functions.bpe import (
+        bpe_learn,
+        bpe_tokenize,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    merges, _ = bpe_learn(d, n_merges=6, min_freq=2)
+    assert merges, "fixture slice must sustain at least one merge"
+
+    def naive_apply(text: str) -> list[str]:
+        toks: list[str] = []
+        for w in _toks(text):
+            syms = list(w)
+            for a, b in merges:
+                out: list[str] = []
+                i = 0
+                while i < len(syms):
+                    if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            toks.extend(syms)
+        return toks
+
+    got = bpe_tokenize(d, merges).select("doc_id", "text", "bpe_tokens").collect()
+    assert len(got) == 40
+    for r in got:
+        assert r.bpe_tokens == naive_apply(r.text)
