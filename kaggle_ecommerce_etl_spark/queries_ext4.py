@@ -529,6 +529,155 @@ GROUP BY lang
 
 
 # --------------------------------------------------------------------------
+# streaming drift monitor (tenth streaming paradigm)
+# --------------------------------------------------------------------------
+
+
+def q_streaming_drift_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING distribution-drift monitor drained end-to-end — the
+    tenth streaming paradigm: incoming document slices (src2, staged
+    as a file stream) run through a streaming explode+groupBy token
+    count (real incremental aggregation state, complete mode), then
+    the drained per-slice counts are scored for total-variation drift
+    against the STATIC src0 reference distribution — the
+    ingest-monitoring topology that flags a poisoned/shifted crawl
+    drop before it reaches the training mix.
+
+    Exactness: same decimal cross-product TV arithmetic as
+    source_token_drift (no float can flip the gate). Slice identity
+    is carried IN THE DATA (batch_id = doc_id % 3), so the result is
+    independent of micro-batch file pickup order — the oracle
+    restates it in pure SQL. State: |slices|×vocab counts, bounded by
+    vocabulary, not stream length; at 100 TB the reference counts
+    frame is the persisted vocab-sized table the drift family
+    documents."""
+    import os
+    import tempfile
+
+    d = _t(spark, sf_dir, "documents")
+    incoming = d.filter(F.col("source") == "src2").select(
+        (F.col("doc_id") % 3).alias("batch_id"), "text"
+    )
+    from kaggle_ecommerce_etl_spark.queries_ext import (
+        _publish_fixture_dir,
+        _stream_fixture_dir,
+    )
+
+    src_dir = _stream_fixture_dir("driftmon:v1", sf_dir, "documents")
+
+    def _build(stage: str) -> None:
+        incoming.repartition(2).write.mode("overwrite").parquet(stage)
+
+    _publish_fixture_dir(src_dir, _build)
+
+    qname = "drift_run_" + os.path.basename(src_dir)
+    stream = spark.readStream.schema(incoming.schema).parquet(src_dir)
+    toks = stream.select(
+        "batch_id",
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("batch_id", "tok").agg(F.count(F.lit(1)).alias("c"))
+    query = (
+        counts.writeStream.format("memory")
+        .queryName(qname)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_"))
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()
+    slice_counts = spark.table(qname)
+
+    ref = (
+        d.filter(F.col("source") == "src0")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("tok")
+        )
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    # batches derives from slice_counts, so the full-outer join below
+    # RENAMES one side's columns into fresh attributes (alias() on the
+    # DataFrame is not enough — shared-lineage qualified lookups stay
+    # ambiguous; aliased COLUMNS get new expression ids)
+    sc2 = slice_counts.select(
+        F.col("batch_id").alias("s_batch"),
+        F.col("tok").alias("s_tok"),
+        "c",
+    )
+    base = slice_counts.select("batch_id").distinct().crossJoin(ref)
+    merged = base.join(
+        sc2,
+        (F.col("batch_id") == F.col("s_batch"))
+        & (F.col("tok") == F.col("s_tok")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col("batch_id"), F.col("s_batch")).alias("batch_id"),
+        F.coalesce(F.col("c"), F.lit(0)).alias("c"),
+        F.coalesce(F.col("r"), F.lit(0)).alias("r"),
+    )
+    totals = merged.groupBy("batch_id").agg(
+        F.sum("c").cast("decimal(18,0)").alias("ct"),
+        F.sum("r").cast("decimal(18,0)").alias("rt"),
+    )
+    return (
+        merged.join(F.broadcast(totals), "batch_id")
+        .groupBy("batch_id")
+        .agg(
+            F.max("ct").cast("long").alias("n_tokens"),
+            F.sum(
+                F.abs(
+                    F.col("c").cast("decimal(18,0)") * F.col("rt")
+                    - F.col("r").cast("decimal(18,0)") * F.col("ct")
+                )
+            )
+            .cast("long")
+            .alias("tv_num"),
+            (F.lit(2) * F.max("ct") * F.max("rt")).cast("long").alias("tv_den"),
+        )
+        .orderBy("batch_id")
+    )
+
+
+ORACLE_STREAMING_DRIFT = """
+WITH sl AS (
+  SELECT doc_id % 3 AS batch_id,
+         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents WHERE source = 'src2'
+),
+sc AS (SELECT batch_id, tok, count(*) AS c FROM sl
+       WHERE tok <> '' GROUP BY batch_id, tok),
+refs AS (
+  SELECT tok, count(*) AS r FROM (
+    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    FROM documents WHERE source = 'src0') WHERE tok <> '' GROUP BY tok
+),
+batches AS (SELECT DISTINCT batch_id FROM sc),
+base AS (SELECT batch_id, tok, r FROM batches CROSS JOIN refs),
+m AS (
+  SELECT COALESCE(base.batch_id, sc.batch_id) AS batch_id,
+         COALESCE(c, 0) AS c, COALESCE(r, 0) AS r
+  FROM base FULL OUTER JOIN sc
+    ON base.batch_id = sc.batch_id AND base.tok = sc.tok
+),
+t AS (SELECT batch_id, CAST(SUM(c) AS DECIMAL(18,0)) AS ct,
+             CAST(SUM(r) AS DECIMAL(18,0)) AS rt
+      FROM m GROUP BY batch_id)
+SELECT m.batch_id,
+       CAST(ct AS BIGINT) AS n_tokens,
+       CAST(SUM(abs(CAST(c AS DECIMAL(18,0)) * rt
+                    - CAST(r AS DECIMAL(18,0)) * ct)) AS BIGINT) AS tv_num,
+       CAST(2 * ct * rt AS BIGINT) AS tv_den
+FROM m JOIN t USING (batch_id)
+GROUP BY m.batch_id, ct, rt
+ORDER BY batch_id
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark 4 SQL pipe syntax
 # --------------------------------------------------------------------------
 
@@ -626,6 +775,7 @@ EXT4_REGISTRY = {
     "source_quota_cap": (q_source_quota_cap, ORACLE_SOURCE_QUOTA_CAP),
     "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
+    "streaming_drift_run": (q_streaming_drift_run, ORACLE_STREAMING_DRIFT),
     "pipe_syntax_revenue": (q_pipe_syntax_revenue, ORACLE_PIPE_SYNTAX_REVENUE),
     "metrics_transpose": (q_metrics_transpose, _metrics_transpose_oracle()),
     "script_profile": (q_script_profile, ORACLE_SCRIPT_PROFILE),

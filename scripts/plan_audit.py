@@ -67,6 +67,11 @@ BNLJ_OK = {
     # numerator — both broadcast sides are single-row aggregates by
     # construction at any scale (same family as tfidf's n_docs join).
     "source_token_drift": "1-row slice-totals and 1-row TV-sum broadcasts",
+    # slice-id list (|slices| rows, 3 here — bounded by the monitor's
+    # window count at any scale) × the vocab-sized reference counts:
+    # the full-outer drift scoring needs every (slice, ref-token)
+    # pair; both sides are dimension-sized, never corpus-sized.
+    "streaming_drift_run": "slice-ids × reference-vocab bounded cross join",
 }
 
 #: queries allowed Arrow-batched python nodes (the documented

@@ -388,3 +388,32 @@ def test_bpe_tokenize_applies_merges_exactly(spark, sf_dir):
     assert len(got) == 40
     for r in got:
         assert r.bpe_tokens == naive_apply(r.text)
+
+
+def test_streaming_drift_matches_batch_recompute(spark, sf_dir):
+    """The drained streaming counts produce the same per-slice TV as a
+    pure-Python batch recomputation over the same slices."""
+    from collections import Counter
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "source", "text"
+    ).collect()
+    ref: Counter = Counter()
+    slices: dict[int, Counter] = {}
+    for r in rows:
+        if r.source == "src0":
+            ref.update(_toks(r.text))
+        elif r.source == "src2":
+            slices.setdefault(r.doc_id % 3, Counter()).update(_toks(r.text))
+    got = {r.batch_id: r for r in q4.q_streaming_drift_run(spark, sf_dir).collect()}
+    assert set(got) == set(slices)
+    rt = sum(ref.values())
+    for b, c in slices.items():
+        ct = sum(c.values())
+        tv = sum(
+            abs(c.get(t, 0) * rt - ref.get(t, 0) * ct)
+            for t in set(c) | set(ref)
+        )
+        assert got[b].n_tokens == ct
+        assert got[b].tv_num == tv
+        assert got[b].tv_den == 2 * ct * rt
