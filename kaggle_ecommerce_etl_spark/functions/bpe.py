@@ -189,3 +189,58 @@ def bpe_tokenize(
         out_col,
         F.flatten(F.transform(word, symbolize)),
     )
+
+
+def bpe_tokenize_joined(
+    df: DataFrame,
+    words: DataFrame,
+    text_col: str = "text",
+    out_col: str = "bpe_tokens",
+) -> DataFrame:
+    """The SCALABLE apply path for large merge lists: instead of
+    replaying k merges as a k-deep expression chain (bpe_tokenize —
+    fine for ≤ ~100 merges), join each document word against the
+    (word, syms) vocabulary `bpe_learn` already produced. One
+    explode + one join on the word (broadcast when the vocab fits,
+    shuffle otherwise — AQE decides) + an ordered regroup; cost is
+    independent of merge count. Out-of-vocabulary words fall back to
+    their characters (the training-corpus contract: a word absent
+    from `words` was never seen, so no merge can apply to it beyond
+    what its characters carry — matching what replaying the merges
+    would produce ONLY when the word shares no merged pair; exact
+    OOV parity needs bpe_tokenize's replay, which is the documented
+    trade).
+
+    Reconstruction order rides (doc row id, word position) through
+    sort_array — never collect_list luck."""
+    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    toks = tagged.select(
+        "__rid",
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                lambda w: w != "",
+            )
+        ).alias("__pos", "__word"),
+    )
+    vocab = words.select(F.col("word").alias("__word"), F.col("syms").alias("__syms"))
+    joined = toks.join(vocab, "__word", "left").select(
+        "__rid",
+        "__pos",
+        F.coalesce(F.col("__syms"), F.split(F.col("__word"), "")).alias("__syms"),
+    )
+    regrouped = joined.groupBy("__rid").agg(
+        F.flatten(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("__pos"), F.col("__syms")))
+                ),
+                lambda x: x["__syms"],
+            )
+        ).alias(out_col)
+    )
+    out = tagged.join(regrouped, "__rid", "left").drop("__rid")
+    # documents with no words (empty text) get an empty token array
+    return out.withColumn(
+        out_col, F.coalesce(F.col(out_col), F.array().cast("array<string>"))
+    )

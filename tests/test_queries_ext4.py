@@ -417,3 +417,30 @@ def test_streaming_drift_matches_batch_recompute(spark, sf_dir):
         assert got[b].n_tokens == ct
         assert got[b].tv_num == tv
         assert got[b].tv_den == 2 * ct * rt
+
+
+def test_bpe_tokenize_joined_matches_replay(spark, sf_dir):
+    """The join-based apply path reproduces the expression-replay path
+    exactly on the training corpus (every word in-vocab by
+    construction), including word order within documents."""
+    from kaggle_ecommerce_etl_spark.functions.bpe import (
+        bpe_learn,
+        bpe_tokenize,
+        bpe_tokenize_joined,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 40
+    )
+    merges, words = bpe_learn(d, n_merges=6, min_freq=2)
+    want = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_tokenize(d, merges).select("doc_id", "bpe_tokens").collect()
+    }
+    got = {
+        r.doc_id: r.bpe_tokens
+        for r in bpe_tokenize_joined(d, words)
+        .select("doc_id", "bpe_tokens")
+        .collect()
+    }
+    assert got == want
