@@ -31,13 +31,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
+
 
 def word_freq_table(df: DataFrame, text_col: str = "text") -> DataFrame:
     """ONE corpus pass: distinct lowercased whitespace words with
-    corpus frequencies — the entire state BPE training needs."""
+    corpus frequencies — the entire state BPE training needs.
+    Tokenization = the portable WS_SPLIT class (see functions.text),
+    the same contract as queries_ext4's corpus analytics."""
     toks = df.select(
         F.explode(
-            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)
         ).alias("word")
     ).filter(F.col("word") != "")
     return toks.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
@@ -175,8 +179,10 @@ def bpe_tokenize(
     the plan as literals (tokenizers are ≤ ~50k merges; chains that
     long should precompute a vocab dict and join instead — this
     expression path is for the distributed-training loop's own
-    inspection scale, ≤ ~100 merges)."""
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    inspection scale, ≤ ~100 merges). NULL text tokenizes to an empty
+    array (coalesced — same contract as bpe_tokenize_joined, so the
+    two apply paths stay swappable)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)
     word = F.filter(words, lambda w: w != "")
 
     def symbolize(w: F.Column) -> F.Column:
@@ -187,7 +193,10 @@ def bpe_tokenize(
 
     return df.withColumn(
         out_col,
-        F.flatten(F.transform(word, symbolize)),
+        F.coalesce(
+            F.flatten(F.transform(word, symbolize)),
+            F.array().cast("array<string>"),
+        ),
     )
 
 
@@ -212,13 +221,22 @@ def bpe_tokenize_joined(
     trade).
 
     Reconstruction order rides (doc row id, word position) through
-    sort_array — never collect_list luck."""
-    tagged = df.withColumn("__rid", F.monotonically_increasing_id())
+    sort_array — never collect_list luck. NULL text → empty token
+    array (same contract as bpe_tokenize)."""
+    # EAGER localCheckpoint: __rid (monotonically_increasing_id) is
+    # nondeterministic and `tagged` feeds TWO plan branches (the
+    # explode side and the final join-back) — recomputed separately,
+    # a shuffled/retried input could assign different ids per branch
+    # and silently attach tokens to the wrong document. Pinning the
+    # frame once makes the ids a fact, not a recomputation.
+    tagged = df.withColumn(
+        "__rid", F.monotonically_increasing_id()
+    ).localCheckpoint(eager=True)
     toks = tagged.select(
         "__rid",
         F.posexplode(
             F.filter(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+                F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT),
                 lambda w: w != "",
             )
         ).alias("__pos", "__word"),

@@ -33,6 +33,18 @@ BPE_ISH_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
 
 PUNCT_CLASS = r"[^.!?,;:]"
 
+#: Whitespace split spelled as an EXPLICIT class, identical in Java
+#: regex (Spark), RE2 (the DuckDB oracles), and Python `re` (the
+#: naive test references): `\s` is NOT portable — Java's includes
+#: vertical tab \x0B, RE2's does not (verified:
+#: string_split_regex('a'||chr(11)||'b', '\s+') stays unsplit), and
+#: Python's additionally matches unicode spaces in str mode. The
+#: fifth-wave corpus queries + the BPE trainer tokenize with THIS
+#: class on every side. Legacy queries pair Spark `\s+` with the
+#: oracle's `\s+`, which agree on everything the synthetic corpus
+#: can contain (no \x0B) — new tokenizing code should use this.
+WS_SPLIT = r"[ \t\n\r\x0B\f]+"
+
 
 def tokens_expr(col: Column) -> Column:
     """Lowercased alphabetic tokens (for stopword matching)."""

@@ -33,7 +33,24 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
 from kaggle_ecommerce_etl_spark.queries_ext import _t
+
+#: the same class, spliced verbatim into the DuckDB oracle strings
+#: (RE2 reads the \t/\n/\r/\x0B/\f escapes identically)
+_WS_SQL = WS_SPLIT
+
+
+def _tok_explode(d: DataFrame, *key_cols: str) -> DataFrame:
+    """THE tokenization contract of this module, defined once: carry
+    ``key_cols``, explode lowercased trimmed whitespace tokens of
+    ``text``, drop empties. Every query here and every oracle string
+    uses the same explicit WS_SPLIT class — see functions.text.WS_SPLIT
+    for why ``\\s`` is not portable across Java/RE2/Python."""
+    return d.select(
+        *key_cols,
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)).alias("tok"),
+    ).filter(F.col("tok") != "")
 
 
 # --------------------------------------------------------------------------
@@ -71,10 +88,7 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     it. Top-20 by (drift desc, tok) is TakeOrdered — no global
     sort."""
     d = _t(spark, sf_dir, "documents").filter(F.col("source").isin("src0", "src1"))
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _tok_explode(d, "source")
     counts = toks.groupBy("tok").agg(
         F.sum((F.col("source") == "src0").cast("long")).alias("c0"),
         F.sum((F.col("source") == "src1").cast("long")).alias("c1"),
@@ -118,10 +132,10 @@ def token_drift_from_counts(counts: DataFrame, top_k: int = 20) -> DataFrame:
     )
 
 
-ORACLE_SOURCE_TOKEN_DRIFT = """
+ORACLE_SOURCE_TOKEN_DRIFT = f"""
 WITH toks AS (
   SELECT source,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         unnest(string_split_regex(lower(trim(text)), '{_WS_SQL}')) AS tok
   FROM documents WHERE source IN ('src0', 'src1')
 ),
 counts AS (
@@ -174,7 +188,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # higher-order functions — the minhash_base_expr lesson; measured
     # 5× on this query at sf0.1)
     toks = d.select(
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t")
+        F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT).alias("t")
     )
     t = F.col("t")
     pairs = F.when(
@@ -193,8 +207,8 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_BPE_PAIR_COUNTS = """
-WITH t AS (SELECT string_split_regex(lower(trim(text)), '\\s+') AS t
+ORACLE_BPE_PAIR_COUNTS = f"""
+WITH t AS (SELECT string_split_regex(lower(trim(text)), '{_WS_SQL}') AS t
            FROM documents),
 p AS (SELECT unnest(CASE WHEN len(t) >= 2
                          THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
@@ -333,9 +347,13 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (short texts yield one covering shingle), but built over a
     # token array MATERIALIZED through its own projection — the
     # in-lambda split re-evaluation cost (CSE-in-HOF) was 5× here
-    toks = d.select(
+    # NULL-text guard: without it Spark would emit a phantom ''
+    # trigram (concat_ws over a NULL slice) while the oracle's list
+    # comprehension yields no rows — same divergence class as
+    # char_entropy's empty-string guard
+    toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("t"),
+        F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT).alias("t"),
     )
     t = F.col("t")
     tris = F.array_distinct(
@@ -356,10 +374,10 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_NGRAM_NOVELTY = """
+ORACLE_NGRAM_NOVELTY = f"""
 WITH t AS (SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\\s+') AS t
-           FROM documents),
+                  string_split_regex(lower(trim(text)), '{_WS_SQL}') AS t
+           FROM documents WHERE text IS NOT NULL),
 s AS (SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
                             for i in range(1, greatest(len(t) - 2, 1) + 1)]) AS sh
@@ -383,9 +401,10 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whitespace / other) — the script-mix signal multilingual curation
     filters on (e.g. "mostly-CJK doc tagged en" or "half the bytes
     are neither letters nor spaces"). Pure regexp expressions inside
-    whole-stage codegen; integer-exact. The Spark pattern uses Java
-    ``\\uXXXX`` escapes and the oracle RE2's ``\\x{XXXX}`` — same
-    character classes, engine-native spelling."""
+    whole-stage codegen; integer-exact. The Spark pattern spells the
+    CJK range as literal characters (一-鿿 = U+4E00–U+9FFF) and the
+    oracle uses RE2's ``\\x{XXXX}`` escapes — the same character
+    class in each engine's native spelling."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
 
     def n_of(pattern: str) -> Column:
@@ -437,10 +456,7 @@ def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     same reason as char_entropy: log terms are transcendental, the
     6-decimal round has no engine-dependent boundary."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select(
-        "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _tok_explode(d, "source")
     per_tok = toks.groupBy("source", "tok").agg(F.count(F.lit(1)).alias("c"))
     return per_tok.groupBy("source").agg(
         F.sum("c").alias("n_tokens"),
@@ -454,10 +470,10 @@ def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TOKEN_ENTROPY_BY_SOURCE = """
+ORACLE_TOKEN_ENTROPY_BY_SOURCE = f"""
 WITH toks AS (
   SELECT source,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         unnest(string_split_regex(lower(trim(text)), '{_WS_SQL}')) AS tok
   FROM documents
 ),
 pt AS (SELECT source, tok, count(*) AS c FROM toks
@@ -489,10 +505,7 @@ def q_stopword_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents").filter(
         F.col("lang").isin(*STOPWORDS.keys())
     )
-    toks = d.select(
-        "lang",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _tok_explode(d, "lang")
     own = F.lit(False)
     for lang, words in STOPWORDS.items():
         own = F.when(
@@ -517,7 +530,7 @@ def _stopword_coverage_oracle() -> str:
     return f"""
 WITH toks AS (
   SELECT lang,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         unnest(string_split_regex(lower(trim(text)), '{_WS_SQL}')) AS tok
   FROM documents WHERE lang IN ({langs})
 )
 SELECT lang, count(*) AS n_tokens,
@@ -572,10 +585,7 @@ def q_streaming_drift_run(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     qname = "drift_run_" + os.path.basename(src_dir)
     stream = spark.readStream.schema(incoming.schema).parquet(src_dir)
-    toks = stream.select(
-        "batch_id",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
-    ).filter(F.col("tok") != "")
+    toks = _tok_explode(stream, "batch_id")
     counts = toks.groupBy("batch_id", "tok").agg(F.count(F.lit(1)).alias("c"))
     query = (
         counts.writeStream.format("memory")
@@ -589,13 +599,7 @@ def q_streaming_drift_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     slice_counts = spark.table(qname)
 
     ref = (
-        d.filter(F.col("source") == "src0")
-        .select(
-            F.explode(
-                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
-            ).alias("tok")
-        )
-        .filter(F.col("tok") != "")
+        _tok_explode(d.filter(F.col("source") == "src0"))
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("r"))
     )
@@ -642,17 +646,17 @@ def q_streaming_drift_run(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_STREAMING_DRIFT = """
+ORACLE_STREAMING_DRIFT = f"""
 WITH sl AS (
   SELECT doc_id % 3 AS batch_id,
-         unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+         unnest(string_split_regex(lower(trim(text)), '{_WS_SQL}')) AS tok
   FROM documents WHERE source = 'src2'
 ),
 sc AS (SELECT batch_id, tok, count(*) AS c FROM sl
        WHERE tok <> '' GROUP BY batch_id, tok),
 refs AS (
   SELECT tok, count(*) AS r FROM (
-    SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+    SELECT unnest(string_split_regex(lower(trim(text)), '{_WS_SQL}')) AS tok
     FROM documents WHERE source = 'src0') WHERE tok <> '' GROUP BY tok
 ),
 batches AS (SELECT DISTINCT batch_id FROM sc),

@@ -29,7 +29,11 @@ def _texts(spark, sf_dir) -> dict[int, str]:
 
 
 def _toks(text: str) -> list[str]:
-    return [t for t in re.split(r"\s+", text.strip().lower()) if t]
+    # the explicit WS class (functions.text.WS_SPLIT): python \s would
+    # additionally match unicode spaces, diverging from the engines
+    return [
+        t for t in re.split("[ \t\n\r\x0b\f]+", text.strip().lower()) if t
+    ]
 
 
 def test_ext4_registry_merged():
@@ -444,3 +448,28 @@ def test_bpe_tokenize_joined_matches_replay(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_ws_split_portability_pin(spark):
+    """The explicit WS_SPLIT class is the portable tokenizer: Java
+    regex splits vertical tab under BOTH \\s+ and WS_SPLIT, but RE2
+    (the oracle engine) does NOT split \\x0B under \\s+ — pin the
+    DuckDB behavior and the Spark/WS_SPLIT agreement so the contract
+    stays visible (see functions.text.WS_SPLIT)."""
+    import duckdb
+
+    from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
+
+    df = spark.createDataFrame([("a\x0bb c",)], "text string")
+    got = df.select(F.split("text", WS_SPLIT).alias("t")).collect()[0].t
+    assert got == ["a", "b", "c"]
+    duck = duckdb.sql(
+        "SELECT string_split_regex('a' || chr(11) || 'b c', "
+        f"'{WS_SPLIT}') AS t"
+    ).fetchall()[0][0]
+    assert duck == ["a", "b", "c"]
+    # the divergence WS_SPLIT exists to avoid: RE2 \s+ leaves \x0B
+    legacy = duckdb.sql(
+        r"SELECT string_split_regex('a' || chr(11) || 'b c', '\s+') AS t"
+    ).fetchall()[0][0]
+    assert legacy == ["a\x0bb", "c"]
