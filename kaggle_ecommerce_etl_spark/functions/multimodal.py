@@ -184,3 +184,41 @@ def dedup_by_content(df: DataFrame) -> DataFrame:
         F.first("mime").alias("mime"),
         F.min("n_bytes").alias("n_bytes"),
     )
+
+
+def media_byte_chunks(df: DataFrame, chunk_bytes: int = 100) -> DataFrame:
+    """Fixed-size BYTE-RANGE chunking of media blobs — the streaming/
+    shard primitive for fixed-rate media (PCM audio frames, raw video
+    byte stripes, range-request shards): every blob becomes
+    ⌈n_bytes/chunk⌉ rows of (media_id, chunk_idx, start_byte,
+    chunk_len, chunk_md5). Pure expressions over the binary column —
+    ``substring`` on BinaryType slices BYTES and ``md5`` hashes them,
+    so no codec is needed and the op is exact at any scale; a narrow
+    map with no shuffle (same posture as doc_chunks for text). The
+    per-chunk md5 is the transfer-integrity checksum a 100 TB media
+    mover verifies shard-by-shard."""
+    chunks = F.transform(
+        F.sequence(
+            F.lit(0),
+            F.ceil(F.col("n_bytes") / F.lit(float(chunk_bytes))).cast("int")
+            - 1,
+        ),
+        lambda i: F.struct(
+            i.cast("int").alias("chunk_idx"),
+            (i * chunk_bytes).cast("bigint").alias("start_byte"),
+            F.substring(F.col("blob"), i * chunk_bytes + 1, chunk_bytes).alias(
+                "chunk"
+            ),
+        ),
+    )
+    return (
+        df.filter(F.col("n_bytes") > 0)
+        .select("media_id", F.explode(chunks).alias("c"))
+        .select(
+            "media_id",
+            F.col("c.chunk_idx").alias("chunk_idx"),
+            F.col("c.start_byte").alias("start_byte"),
+            F.length(F.col("c.chunk")).cast("int").alias("chunk_len"),
+            F.md5(F.col("c.chunk")).alias("chunk_md5"),
+        )
+    )

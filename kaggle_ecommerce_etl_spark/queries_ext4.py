@@ -682,6 +682,50 @@ ORDER BY batch_id
 
 
 # --------------------------------------------------------------------------
+# multimodal byte-range chunking
+# --------------------------------------------------------------------------
+
+
+def q_multimodal_byte_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Byte-range chunking of media blobs with per-chunk md5 transfer
+    checksums (functions.multimodal.media_byte_chunks) — binary-column
+    slicing is BYTE-based in Spark while the oracle's VARCHAR
+    substring is CHARACTER-based, so the fixture restricts to blobs
+    whose payload is pure ASCII (length == octet_length, a predicate
+    both engines evaluate identically); real media blobs are bytes
+    anyway — the contract exists only because the oracle must build
+    its blobs from the shared text corpus."""
+    from kaggle_ecommerce_etl_spark.functions.multimodal import (
+        media_byte_chunks,
+        wrap_as_media,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") == F.octet_length("text"))
+        .select("doc_id", "text")
+    )
+    media = wrap_as_media(d, "doc_id", "text", "application/octet-stream")
+    return media_byte_chunks(media, chunk_bytes=100)
+
+
+ORACLE_MULTIMODAL_BYTE_CHUNKS = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) = strlen(text) AND strlen(text) > 0
+)
+SELECT doc_id AS media_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(i * 100 AS BIGINT) AS start_byte,
+       CAST(length(substring(text, CAST(i*100+1 AS BIGINT), 100)) AS INT)
+         AS chunk_len,
+       md5(substring(text, CAST(i*100+1 AS BIGINT), 100)) AS chunk_md5
+FROM d, unnest(range(0, CAST(ceil(strlen(text)/100.0) AS BIGINT)))
+       AS t(i)
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark 4 SQL pipe syntax
 # --------------------------------------------------------------------------
 
@@ -780,6 +824,10 @@ EXT4_REGISTRY = {
     "char_entropy": (q_char_entropy, ORACLE_CHAR_ENTROPY),
     "ngram_novelty": (q_ngram_novelty, ORACLE_NGRAM_NOVELTY),
     "streaming_drift_run": (q_streaming_drift_run, ORACLE_STREAMING_DRIFT),
+    "multimodal_byte_chunks": (
+        q_multimodal_byte_chunks,
+        ORACLE_MULTIMODAL_BYTE_CHUNKS,
+    ),
     "pipe_syntax_revenue": (q_pipe_syntax_revenue, ORACLE_PIPE_SYNTAX_REVENUE),
     "metrics_transpose": (q_metrics_transpose, _metrics_transpose_oracle()),
     "script_profile": (q_script_profile, ORACLE_SCRIPT_PROFILE),

@@ -473,3 +473,27 @@ def test_ws_split_portability_pin(spark):
         r"SELECT string_split_regex('a' || chr(11) || 'b c', '\s+') AS t"
     ).fetchall()[0][0]
     assert legacy == ["a\x0bb", "c"]
+
+
+def test_multimodal_byte_chunks_matches_naive(spark, sf_dir):
+    import hashlib
+
+    texts = _texts(spark, sf_dir)
+    ascii_docs = {
+        d: t for d, t in texts.items()
+        if len(t) == len(t.encode()) and len(t) > 0
+    }
+    got: dict = {}
+    for r in q4.q_multimodal_byte_chunks(spark, sf_dir).collect():
+        got.setdefault(r.media_id, []).append(r)
+    assert set(got) == set(ascii_docs)
+    for d, t in list(ascii_docs.items())[:40]:
+        rows = sorted(got[d], key=lambda r: r.chunk_idx)
+        raw = t.encode()
+        assert len(rows) == (len(raw) + 99) // 100
+        for i, r in enumerate(rows):
+            chunk = raw[i * 100 : i * 100 + 100]
+            assert (r.chunk_idx, r.start_byte, r.chunk_len) == (
+                i, i * 100, len(chunk)
+            )
+            assert r.chunk_md5 == hashlib.md5(chunk).hexdigest()
