@@ -93,6 +93,7 @@ EXTRA = [
     "source_quota_cap",
     "script_profile",
     "token_entropy_by_source",
+    "multimodal_byte_chunks",
 ]
 
 
