@@ -725,6 +725,113 @@ FROM d, unnest(range(0, CAST(ceil(strlen(text)/100.0) AS BIGINT)))
 """
 
 
+def q_multimodal_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reassembly GATE closing the chunking loop: re-concatenate
+    every blob's byte chunks in chunk_idx order (sort_array over
+    (idx, chunk) structs — never collect_list luck; binary fold via
+    the `aggregate` HOF) and verify the md5 of the reassembly equals
+    the md5 of the original blob. Output per media: chunk count,
+    total bytes, and the boolean — the oracle expects every row TRUE,
+    so a lost, duplicated, or reordered chunk flips the driver gate.
+    This is the shard-integrity invariant a 100 TB media mover checks
+    after transfer; one shuffle (the per-media regroup)."""
+    from kaggle_ecommerce_etl_spark.functions.multimodal import (
+        media_byte_chunks,
+        wrap_as_media,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .filter(F.length("text") == F.octet_length("text"))
+        .select("doc_id", "text")
+    )
+    media = wrap_as_media(d, "doc_id", "text", "application/octet-stream")
+    chunks = media_byte_chunks(media, chunk_bytes=100)
+    # re-chunk WITH payloads (media_byte_chunks returns digests only —
+    # recompute the slices for the reassembly side)
+    sliced = media.filter(F.col("n_bytes") > 0).select(
+        "media_id",
+        "n_bytes",
+        F.explode(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.ceil(F.col("n_bytes") / F.lit(100.0)).cast("int") - 1,
+                ),
+                lambda i: F.struct(
+                    i.cast("int").alias("chunk_idx"),
+                    F.substring(F.col("blob"), i * 100 + 1, 100).alias("chunk"),
+                ),
+            )
+        ).alias("c"),
+    )
+    rebuilt = (
+        sliced.groupBy("media_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_chunks"),
+            F.max("n_bytes").alias("n_bytes"),
+            F.md5(
+                F.aggregate(
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.col("c.chunk_idx"), F.col("c.chunk"))
+                            )
+                        ),
+                        lambda x: x["chunk"],
+                    ),
+                    F.lit(b""),
+                    lambda acc, x: F.concat(acc, x),
+                )
+            ).alias("rebuilt_md5"),
+        )
+    )
+    orig = media.select("media_id", F.md5(F.col("blob")).alias("orig_md5"))
+    out = rebuilt.join(orig, "media_id").select(
+        "media_id",
+        "n_chunks",
+        "n_bytes",
+        (F.col("rebuilt_md5") == F.col("orig_md5")).alias("intact"),
+    )
+    # the chunk inventory must also agree with media_byte_chunks
+    inv = chunks.groupBy("media_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks_inv")
+    )
+    return (
+        out.join(inv, "media_id")
+        .select(
+            "media_id",
+            "n_chunks",
+            "n_bytes",
+            (F.col("intact") & (F.col("n_chunks") == F.col("n_chunks_inv")))
+            .alias("intact"),
+        )
+    )
+
+
+ORACLE_MULTIMODAL_REASSEMBLE = """
+WITH d AS (
+  SELECT doc_id, text FROM documents
+  WHERE length(text) = strlen(text) AND strlen(text) > 0
+),
+c AS (
+  SELECT doc_id AS media_id, CAST(i AS INT) AS chunk_idx,
+         substring(text, CAST(i*100+1 AS BIGINT), 100) AS chunk,
+         strlen(text) AS n_bytes
+  FROM d, unnest(range(0, CAST(ceil(strlen(text)/100.0) AS BIGINT))) AS t(i)
+),
+rb AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n_chunks,
+         CAST(max(n_bytes) AS BIGINT) AS n_bytes,
+         md5(string_agg(chunk, '' ORDER BY chunk_idx)) AS rebuilt_md5
+  FROM c GROUP BY media_id
+)
+SELECT rb.media_id, rb.n_chunks, rb.n_bytes,
+       (rb.rebuilt_md5 = md5(d.text)) AS intact
+FROM rb JOIN d ON rb.media_id = d.doc_id
+"""
+
+
 # --------------------------------------------------------------------------
 # Spark 4 SQL pipe syntax
 # --------------------------------------------------------------------------
@@ -827,6 +934,10 @@ EXT4_REGISTRY = {
     "multimodal_byte_chunks": (
         q_multimodal_byte_chunks,
         ORACLE_MULTIMODAL_BYTE_CHUNKS,
+    ),
+    "multimodal_chunk_reassemble": (
+        q_multimodal_chunk_reassemble,
+        ORACLE_MULTIMODAL_REASSEMBLE,
     ),
     "pipe_syntax_revenue": (q_pipe_syntax_revenue, ORACLE_PIPE_SYNTAX_REVENUE),
     "metrics_transpose": (q_metrics_transpose, _metrics_transpose_oracle()),
