@@ -833,6 +833,64 @@ FROM rb JOIN d ON rb.media_id = d.doc_id
 
 
 # --------------------------------------------------------------------------
+# invisible-character scrub (poisoning hygiene)
+# --------------------------------------------------------------------------
+
+#: zero-width space/joiners, BOM, soft hyphen — the classic payload
+#: characters of text-poisoning / watermark-evasion tricks (spelled
+#: as python escapes; literal invisible chars in source are exactly
+#: the hazard this op exists to catch)
+_INVIS_SPARK = "[\u200B\u200C\u200D\uFEFF\u00AD]"
+_INVIS_SQL = r"[\x{200B}\x{200C}\x{200D}\x{FEFF}\x{00AD}]"
+
+
+def q_invisible_char_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Invisible-character scrub report — zero-width spaces/joiners,
+    BOMs and soft hyphens are the classic carriers of text poisoning,
+    tokenizer-splitting attacks and watermark evasion; a curation
+    pipeline strips them and REPORTS what it stripped (a silent strip
+    hides an attack signal). The clean synthetic corpus contains
+    none, so the query simulates the attack deterministically
+    (docs with doc_id % 5 == 0 get a zero-width-space payload
+    appended) and the oracle replicates the same injection — the
+    scrub path and its counters are exercised LIVE, not vacuously
+    (the max_df lesson: a guard that never fires at test scale needs
+    a fixture that fires it). Pure expressions; integer counts +
+    md5 of the cleaned text for exact parity."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    poisoned = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.col("text"), F.lit("\u200bhidden\u200b")),
+    ).otherwise(F.col("text"))
+    cleaned = F.regexp_replace(poisoned, _INVIS_SPARK, "")
+    return d.select(
+        "doc_id",
+        (F.length(poisoned) - F.length(cleaned)).cast("int").alias("n_invisible"),
+        F.length(cleaned).cast("int").alias("cleaned_len"),
+        F.md5(cleaned.cast("binary")).alias("cleaned_md5"),
+    )
+
+
+ORACLE_INVISIBLE_SCRUB = f"""
+WITH p AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || chr(8203) || 'hidden' || chr(8203)
+              ELSE text END AS poisoned
+  FROM documents WHERE text IS NOT NULL
+)
+SELECT doc_id,
+       CAST(length(poisoned)
+            - length(regexp_replace(poisoned, '{_INVIS_SQL}', '', 'g'))
+         AS INT) AS n_invisible,
+       CAST(length(regexp_replace(poisoned, '{_INVIS_SQL}', '', 'g'))
+         AS INT) AS cleaned_len,
+       md5(regexp_replace(poisoned, '{_INVIS_SQL}', '', 'g')) AS cleaned_md5
+FROM p
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark 4 SQL pipe syntax
 # --------------------------------------------------------------------------
 
@@ -939,6 +997,7 @@ EXT4_REGISTRY = {
         q_multimodal_chunk_reassemble,
         ORACLE_MULTIMODAL_REASSEMBLE,
     ),
+    "invisible_char_scrub": (q_invisible_char_scrub, ORACLE_INVISIBLE_SCRUB),
     "pipe_syntax_revenue": (q_pipe_syntax_revenue, ORACLE_PIPE_SYNTAX_REVENUE),
     "metrics_transpose": (q_metrics_transpose, _metrics_transpose_oracle()),
     "script_profile": (q_script_profile, ORACLE_SCRIPT_PROFILE),

@@ -516,3 +516,22 @@ def test_chunk_reassemble_all_intact_and_gate_is_live(spark, sf_dir):
     assert hashlib.md5(b"".join(corrupted)).hexdigest() != hashlib.md5(
         raw
     ).hexdigest()
+
+
+def test_invisible_scrub_counts_live_and_exact(spark, sf_dir):
+    """The scrub counters are LIVE (poisoned docs report exactly the 2
+    injected zero-width spaces; clean docs report 0) and the cleaned
+    md5 equals a naive python scrub."""
+    import hashlib
+
+    got = {r.doc_id: r for r in q4.q_invisible_char_scrub(spark, sf_dir).collect()}
+    texts = _texts(spark, sf_dir)
+    invis = "​‌‍﻿­"
+    for d, t in list(texts.items())[:80]:
+        poisoned = t + "​hidden​" if d % 5 == 0 else t
+        cleaned = "".join(c for c in poisoned if c not in invis)
+        r = got[d]
+        assert r.n_invisible == (2 if d % 5 == 0 else 0)
+        assert r.cleaned_len == len(cleaned)
+        assert r.cleaned_md5 == hashlib.md5(cleaned.encode()).hexdigest()
+    assert any(r.n_invisible > 0 for r in got.values())
