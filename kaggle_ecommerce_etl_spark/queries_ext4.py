@@ -891,6 +891,54 @@ FROM p
 
 
 # --------------------------------------------------------------------------
+# embedding table QC
+# --------------------------------------------------------------------------
+
+
+def q_embedding_qc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-table health check per label: vector count, zero-norm
+    count (dead vectors break cosine math downstream), and norm
+    statistics — the QC gate an embedding pipeline runs before any
+    ANN index build. Per-row L2 norms are deterministic (left-to-right
+    array fold, identical in both engines); the cross-row MEAN uses
+    the decimal-sum pattern (`_dsum` convention) so engine reduction
+    order cannot move a rounded digit. One explode-free narrow map +
+    one dimension-sized aggregate."""
+    emb = _t(spark, sf_dir, "embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x))
+    per_vec = emb.select("label", F.round(norm, 6).alias("norm6"))
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum((F.col("norm6") == 0).cast("long")).alias("n_zero"),
+        F.round(
+            F.sum(F.col("norm6").cast("decimal(23,8)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_norm"),
+        F.round(F.min("norm6"), 6).alias("min_norm"),
+        F.round(F.max("norm6"), 6).alias("max_norm"),
+    )
+
+
+ORACLE_EMBEDDING_QC = """
+WITH t AS (
+  SELECT label,
+         round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                            x -> x * x))), 6) AS norm6
+  FROM embeddings
+)
+SELECT label, count(*) AS n_vecs,
+       CAST(SUM(CASE WHEN norm6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+       round(CAST(SUM(CAST(norm6 AS DECIMAL(23,8))) AS DOUBLE)
+             / count(*), 6) AS avg_norm,
+       round(MIN(norm6), 6) AS min_norm,
+       round(MAX(norm6), 6) AS max_norm
+FROM t GROUP BY label
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark 4 SQL pipe syntax
 # --------------------------------------------------------------------------
 
@@ -998,6 +1046,7 @@ EXT4_REGISTRY = {
         ORACLE_MULTIMODAL_REASSEMBLE,
     ),
     "invisible_char_scrub": (q_invisible_char_scrub, ORACLE_INVISIBLE_SCRUB),
+    "embedding_qc": (q_embedding_qc, ORACLE_EMBEDDING_QC),
     "pipe_syntax_revenue": (q_pipe_syntax_revenue, ORACLE_PIPE_SYNTAX_REVENUE),
     "metrics_transpose": (q_metrics_transpose, _metrics_transpose_oracle()),
     "script_profile": (q_script_profile, ORACLE_SCRIPT_PROFILE),

@@ -535,3 +535,25 @@ def test_invisible_scrub_counts_live_and_exact(spark, sf_dir):
         assert r.cleaned_len == len(cleaned)
         assert r.cleaned_md5 == hashlib.md5(cleaned.encode()).hexdigest()
     assert any(r.n_invisible > 0 for r in got.values())
+
+
+def test_embedding_qc_matches_naive(spark, sf_dir):
+    import math
+
+    rows = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "label", "embedding"
+    ).collect()
+    per_label: dict = {}
+    for r in rows:
+        n = 0.0
+        for x in r.embedding:
+            n += float(x) * float(x)
+        per_label.setdefault(r.label, []).append(round(math.sqrt(n), 6))
+    got = {r.label: r for r in q4.q_embedding_qc(spark, sf_dir).collect()}
+    assert set(got) == set(per_label)
+    for lab, norms in per_label.items():
+        r = got[lab]
+        assert r.n_vecs == len(norms)
+        assert r.n_zero == sum(1 for x in norms if x == 0)
+        assert abs(r.avg_norm - sum(norms) / len(norms)) < 5e-6
+        assert r.min_norm == min(norms) and r.max_norm == max(norms)
