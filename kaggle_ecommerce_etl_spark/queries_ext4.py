@@ -939,6 +939,61 @@ FROM t GROUP BY label
 
 
 # --------------------------------------------------------------------------
+# vocabulary coverage curve (tokenizer sizing)
+# --------------------------------------------------------------------------
+
+
+def q_token_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: how many corpus token OCCURRENCES
+    the top-k most frequent types cover, for k ∈ {10, 100, 1000} —
+    the Zipf statistic that sizes a tokenizer vocabulary (the
+    question `bpe_learn`'s merge budget answers operationally).
+    Integer-exact. The global rank window runs over the VOCAB frame
+    (types, not occurrences — the equidepth_histogram precedent for
+    a deliberately dimension-sized total-order window); everything
+    corpus-sized is map-side-combined before it."""
+    counts = (
+        _tok_explode(_t(spark, sf_dir, "documents"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("tok").asc())
+    ranked = counts.withColumn("rank", F.row_number().over(w))
+    total = counts.agg(F.sum("c").alias("total_tokens"))
+    ks = spark.createDataFrame([(10,), (100,), (1000,)], "k int")
+    return (
+        ranked.crossJoin(F.broadcast(ks))
+        .filter(F.col("rank") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("c").alias("covered_tokens"))
+        .crossJoin(F.broadcast(total))
+        .orderBy("k")
+    )
+
+
+ORACLE_TOKEN_COVERAGE = f"""
+WITH toks AS (
+  SELECT unnest(string_split_regex(lower(trim(text)), '{_WS_SQL}')) AS tok
+  FROM documents
+),
+counts AS (SELECT tok, count(*) AS c FROM toks
+           WHERE tok <> '' GROUP BY tok),
+ranked AS (
+  SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, tok) AS rank FROM counts
+),
+total AS (SELECT CAST(SUM(c) AS BIGINT) AS total_tokens FROM counts)
+SELECT CAST(k AS INT) AS k,
+       CAST(SUM(c) AS BIGINT) AS covered_tokens,
+       total_tokens
+FROM ranked CROSS JOIN (SELECT unnest([10, 100, 1000]) AS k) ks
+     CROSS JOIN total
+WHERE rank <= k
+GROUP BY k, total_tokens
+ORDER BY k
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark 4 SQL pipe syntax
 # --------------------------------------------------------------------------
 
@@ -1047,6 +1102,7 @@ EXT4_REGISTRY = {
     ),
     "invisible_char_scrub": (q_invisible_char_scrub, ORACLE_INVISIBLE_SCRUB),
     "embedding_qc": (q_embedding_qc, ORACLE_EMBEDDING_QC),
+    "token_coverage_curve": (q_token_coverage_curve, ORACLE_TOKEN_COVERAGE),
     "pipe_syntax_revenue": (q_pipe_syntax_revenue, ORACLE_PIPE_SYNTAX_REVENUE),
     "metrics_transpose": (q_metrics_transpose, _metrics_transpose_oracle()),
     "script_profile": (q_script_profile, ORACLE_SCRIPT_PROFILE),

@@ -72,6 +72,9 @@ BNLJ_OK = {
     # the full-outer drift scoring needs every (slice, ref-token)
     # pair; both sides are dimension-sized, never corpus-sized.
     "streaming_drift_run": "slice-ids × reference-vocab bounded cross join",
+    # 3-row literal k-list and 1-row corpus-total broadcast into the
+    # vocab-sized ranked frame — both sides constant at any scale.
+    "token_coverage_curve": "3-row k-list and 1-row total broadcasts",
 }
 
 #: queries allowed Arrow-batched python nodes (the documented

@@ -557,3 +557,21 @@ def test_embedding_qc_matches_naive(spark, sf_dir):
         assert r.n_zero == sum(1 for x in norms if x == 0)
         assert abs(r.avg_norm - sum(norms) / len(norms)) < 5e-6
         assert r.min_norm == min(norms) and r.max_norm == max(norms)
+
+
+def test_token_coverage_curve_matches_naive(spark, sf_dir):
+    from collections import Counter
+
+    c: Counter = Counter()
+    for t in _texts(spark, sf_dir).values():
+        c.update(_toks(t))
+    ordered = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(c.values())
+    got = {r.k: r for r in q4.q_token_coverage_curve(spark, sf_dir).collect()}
+    assert set(got) == {10, 100, 1000}
+    for k in (10, 100, 1000):
+        covered = sum(v for _t2, v in ordered[:k])
+        assert got[k].covered_tokens == covered
+        assert got[k].total_tokens == total
+    # coverage is monotone and genuinely partial at k=10
+    assert got[10].covered_tokens < got[100].covered_tokens <= total
