@@ -994,6 +994,67 @@ ORDER BY k
 
 
 # --------------------------------------------------------------------------
+# language confusion matrix (tag vs heuristic)
+# --------------------------------------------------------------------------
+
+
+def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix between the corpus's lang TAG and the
+    stopword-argmax heuristic prediction (functions.text.lang_id_expr)
+    — the eval table a curation pipeline publishes for its language
+    classifier: per (tagged, predicted) cell count. One narrow map +
+    one dimension-sized aggregate (|langs|² cells at most). The
+    oracle restates the full argmax cascade in SQL (the lang_id
+    oracle's structure, carrying the tag through), so cell counts are
+    exact — a heuristic regression moves cells and flips the gate."""
+    from kaggle_ecommerce_etl_spark.functions.text import lang_id_expr
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("lang", lang_id_expr(F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "lang_pred")
+    )
+
+
+def _lang_confusion_oracle() -> str:
+    from kaggle_ecommerce_etl_spark.queries import _sw_list
+
+    return f"""
+WITH toks AS (
+  SELECT lang, string_split_regex(lower(trim(text)), '[^a-z]+') AS t
+  FROM documents
+),
+hits AS (
+  SELECT lang,
+         len(list_filter(t, x -> list_contains({_sw_list('en')}, x))) AS en,
+         len(list_filter(t, x -> list_contains({_sw_list('fr')}, x))) AS fr,
+         len(list_filter(t, x -> list_contains({_sw_list('de')}, x))) AS de,
+         len(list_filter(t, x -> list_contains({_sw_list('es')}, x))) AS es
+  FROM toks
+),
+s1 AS (
+  SELECT lang, de, es,
+         CASE WHEN fr > en THEN 'fr' ELSE 'en' END AS lang1,
+         CASE WHEN fr > en THEN fr ELSE en END AS best1
+  FROM hits
+),
+s2 AS (
+  SELECT lang, es,
+         CASE WHEN de > best1 THEN 'de' ELSE lang1 END AS lang2,
+         CASE WHEN de > best1 THEN de ELSE best1 END AS best2
+  FROM s1
+)
+SELECT lang, CASE WHEN es > best2 THEN 'es' ELSE lang2 END AS lang_pred,
+       count(*) AS n_docs
+FROM s2
+GROUP BY lang, lang_pred
+ORDER BY lang, lang_pred
+"""
+
+
+# --------------------------------------------------------------------------
 # Spark 4 SQL pipe syntax
 # --------------------------------------------------------------------------
 
@@ -1103,6 +1164,7 @@ EXT4_REGISTRY = {
     "invisible_char_scrub": (q_invisible_char_scrub, ORACLE_INVISIBLE_SCRUB),
     "embedding_qc": (q_embedding_qc, ORACLE_EMBEDDING_QC),
     "token_coverage_curve": (q_token_coverage_curve, ORACLE_TOKEN_COVERAGE),
+    "lang_confusion": (q_lang_confusion, _lang_confusion_oracle()),
     "pipe_syntax_revenue": (q_pipe_syntax_revenue, ORACLE_PIPE_SYNTAX_REVENUE),
     "metrics_transpose": (q_metrics_transpose, _metrics_transpose_oracle()),
     "script_profile": (q_script_profile, ORACLE_SCRIPT_PROFILE),

@@ -575,3 +575,31 @@ def test_token_coverage_curve_matches_naive(spark, sf_dir):
         assert got[k].total_tokens == total
     # coverage is monotone and genuinely partial at k=10
     assert got[10].covered_tokens < got[100].covered_tokens <= total
+
+
+def test_lang_confusion_matches_naive(spark, sf_dir):
+    """Cell counts equal a naive python replication of the stopword
+    argmax, and rows cover every tagged lang."""
+    from kaggle_ecommerce_etl_spark.functions.text import STOPWORDS
+
+    rows = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "lang", "text"
+    ).collect()
+    want: dict = {}
+    for r in rows:
+        toks = [t for t in re.split(r"[^a-z]+", r.text.strip().lower()) if t]
+        hits = {
+            lang: sum(1 for t in toks if t in ws)
+            for lang, ws in STOPWORDS.items()
+        }
+        pred, best = "en", hits["en"]
+        for lang in list(STOPWORDS)[1:]:
+            if hits[lang] > best:
+                pred, best = lang, hits[lang]
+        want[(r.lang, pred)] = want.get((r.lang, pred), 0) + 1
+    got = {
+        (r.lang, r.lang_pred): r.n_docs
+        for r in q4.q_lang_confusion(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert {l for l, _p in got} == {r.lang for r in rows}
