@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
 from kaggle_ecommerce_etl_spark.util import ensure_min_partitions, qcol
 
 N_MINHASH = 8
@@ -35,7 +36,7 @@ BAND_SIZE = 2
 
 def tokens_ws(col: Column) -> Column:
     """Whitespace tokens of lower/trim text."""
-    return F.split(F.lower(F.trim(col)), r"\s+")
+    return F.split(F.lower(F.trim(col)), WS_SPLIT)
 
 
 def shingles_expr(col: Column, n: int = 3) -> Column:

@@ -38,11 +38,10 @@ PUNCT_CLASS = r"[^.!?,;:]"
 #: naive test references): `\s` is NOT portable — Java's includes
 #: vertical tab \x0B, RE2's does not (verified:
 #: string_split_regex('a'||chr(11)||'b', '\s+') stays unsplit), and
-#: Python's additionally matches unicode spaces in str mode. The
-#: fifth-wave corpus queries + the BPE trainer tokenize with THIS
-#: class on every side. Legacy queries pair Spark `\s+` with the
-#: oracle's `\s+`, which agree on everything the synthetic corpus
-#: can contain (no \x0B) — new tokenizing code should use this.
+#: Python's additionally matches unicode spaces in str mode. EVERY
+#: whitespace tokenization/collapse in this repo — Spark expression
+#: AND its DuckDB oracle twin — uses THIS class (repo-wide migration,
+#: r4; the divergence is pinned by test_ws_split_portability_pin).
 WS_SPLIT = r"[ \t\n\r\x0B\f]+"
 
 
@@ -56,7 +55,7 @@ def token_count_expr(col: Column) -> Column:
     trimmed = F.trim(col)
     return (
         F.when(trimmed == "", F.lit(0))
-        .otherwise(F.size(F.split(trimmed, r"\s+")))
+        .otherwise(F.size(F.split(trimmed, WS_SPLIT)))
         .cast("long")
     )
 
@@ -152,7 +151,7 @@ def quality_score_expr(col: Column) -> Column:
 
 def fingerprint_expr(col: Column) -> Column:
     """md5 of lower/trim/whitespace-collapsed text — the exact-dedup key."""
-    norm = F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(col)), WS_SPLIT, " ")
     return F.md5(norm.cast("binary"))
 
 
@@ -176,7 +175,7 @@ def winnow_fingerprints(docs, id_col: str = "doc_id", text_col: str = "text",
     index; the exact-dedup path uses the full digest)."""
     from pyspark.sql import Window
 
-    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    words = F.split(F.lower(F.trim(F.col(text_col))), WS_SPLIT)
     d = docs.select(F.col(id_col).alias("doc_id"), words.alias("w")).filter(
         F.size("w") >= n
     )

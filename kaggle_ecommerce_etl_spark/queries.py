@@ -678,7 +678,7 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FINGERPRINT = """
-SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+SELECT doc_id, md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')) AS fp
 FROM documents
 """
 
@@ -700,7 +700,7 @@ def q_dedup_exact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DEDUP_EXACT = """
 SELECT min(doc_id) AS doc_id, count(*) AS n_copies,
-       md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+       md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')) AS fp
 FROM documents
 GROUP BY 3
 """
@@ -715,7 +715,7 @@ def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_COUNT = """
 SELECT doc_id,
        CASE WHEN trim(text) = '' THEN 0
-            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+            ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\x0B\\f]+')) END AS n_tokens
 FROM documents
 """
 
@@ -775,7 +775,7 @@ ORACLE_QUALITY = f"""
 WITH base AS (
   SELECT doc_id,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n,
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\x0B\\f]+')) END AS n,
          greatest(length(text), 1) AS l1,
          length(regexp_replace(text, '[^.!?,;:]', '', 'g')) AS p,
          len(list_filter(string_split_regex(lower(trim(text)), '[^a-z]+'),
@@ -1098,7 +1098,7 @@ FROM assigned GROUP BY 1, 2
 # --------------------------------------------------------------------------
 
 _SHINGLE_SQL = """
-WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+') AS t
            FROM documents),
 s AS (SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
@@ -1186,7 +1186,7 @@ _SIMHASH_BIT_SQL = " + ".join(
 
 ORACLE_SIMHASH = f"""
 WITH t AS (SELECT doc_id,
-                  list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                  list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS toks
            FROM documents),
 h AS (SELECT doc_id,
              [(('0x' || substr(md5('99:' || x), 1, 8))::BIGINT) for x in toks] AS hs
@@ -1215,7 +1215,7 @@ def q_word_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WORD_JACCARD = """
 WITH base AS (SELECT doc_id, source,
-                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                     list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS toks
               FROM documents),
 e0 AS (SELECT doc_id, source, unnest(toks) AS tok FROM base),
 kept AS (SELECT doc_id, source, tok FROM e0

@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
+
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     from kaggle_ecommerce_etl_spark.queries import _t as _base_t
@@ -598,7 +600,7 @@ def q_shingle_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SHINGLE_JACCARD = """
 WITH t AS (SELECT doc_id, source,
-                  string_split_regex(lower(trim(text)), '\\s+') AS t
+                  string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+') AS t
            FROM documents),
 s AS (SELECT doc_id, source,
              list_distinct([array_to_string(t[i:i+2], ' ')
@@ -756,7 +758,7 @@ def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TFIDF = """
 WITH toks AS (
-  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+  SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS term
   FROM documents
 ),
 tf AS (SELECT doc_id, term, count(*) AS tf FROM toks
@@ -796,7 +798,7 @@ def q_bigram_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_BIGRAM_DF = """
 WITH t AS (SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '\\s+') AS t
+                  string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+') AS t
            FROM documents),
 s AS (SELECT doc_id,
              list_distinct([array_to_string(t[i:i+1], ' ')
@@ -1079,7 +1081,7 @@ ORACLE_TOKEN_STATS = """
 WITH tk AS (
   SELECT lang, n_chars,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\x0B\\f]+')) END AS n_tokens
   FROM documents
 )
 SELECT lang,
@@ -1178,8 +1180,8 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WINNOW = """
 WITH ws AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
-  FROM documents WHERE len(string_split_regex(lower(trim(text)), '\\s+')) >= 3
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+') AS w
+  FROM documents WHERE len(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) >= 3
 ),
 sh0 AS (
   SELECT doc_id, len(w) - 2 AS m_sh,
@@ -1273,7 +1275,7 @@ def q_jaccard_pairs_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_JACCARD_PREFIX = """
 WITH base AS (SELECT doc_id, source,
-                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                     list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS toks
               FROM documents),
 e AS (SELECT doc_id, source, len(toks) AS sz, unnest(toks) AS tok FROM base),
 j AS (SELECT a.doc_id AS id1, b.doc_id AS id2, a.sz AS s1, b.sz AS s2,
@@ -1425,7 +1427,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     1 − distinct/total word bigrams. High ratios mark boilerplate /
     degenerate text for the quality gate. Array expressions only."""
     d = _t(spark, sf_dir, "documents")
-    t = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    t = F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)
     d2 = d.select("doc_id", "lang", t.alias("t")).filter(F.size("t") >= 2)
     bigrams = F.transform(
         F.sequence(F.lit(1), F.size(F.col("t")) - 1),
@@ -1450,7 +1452,7 @@ def q_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_REPETITION = """
 WITH t AS (SELECT doc_id, lang,
-                  string_split_regex(lower(trim(text)), '\\s+') AS w
+                  string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+') AS w
            FROM documents),
 b AS (SELECT doc_id, lang,
              [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bg
@@ -1497,7 +1499,7 @@ def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DECONTAMINATE = (
     # reuses the minhash pipeline's shingle CTE (same 3-gram rule)
-    "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t\n"
+    "WITH t AS (SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+') AS t\n"
     "           FROM documents),\n"
     "s AS (SELECT doc_id,\n"
     "             list_distinct([array_to_string(t[i:i+2], ' ')\n"
@@ -2239,7 +2241,7 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (jaccard DESC, id) tiebreak. At 100 TB the batch side is tiny and
     broadcasts; posting lists stay bounded by the corpus DF guard."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT))
     base = d.select("doc_id", toks.alias("t")).withColumn("sz", F.size("t"))
     batch = base.filter(F.col("doc_id") % 10 == 0)
     corpus = base.filter(F.col("doc_id") % 10 != 0)
@@ -2293,7 +2295,7 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_INCR_NEARDUP = """
 WITH base AS (
-  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS t
+  SELECT doc_id, list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS t
   FROM documents
 ),
 b AS (SELECT doc_id AS in_id, len(t) AS s1, unnest(t) AS tok FROM base
@@ -2426,7 +2428,7 @@ ORACLE_PERSIST_REUSE = """
 WITH tk AS (
   SELECT lang,
          CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+              ELSE len(string_split_regex(trim(text), '[ \\t\\n\\r\\x0B\\f]+')) END AS n_tokens
   FROM documents
 )
 SELECT 'lang_tokens' AS metric, lang AS key, CAST(sum(n_tokens) AS DOUBLE) AS val
@@ -2631,7 +2633,7 @@ def q_word_jaccard_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_WORD_JACCARD_CAPPED = """
 WITH base AS (SELECT doc_id, source,
-                     list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS toks
+                     list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS toks
               FROM documents),
 e0 AS (SELECT doc_id, source, unnest(toks) AS tok FROM base),
 kept AS (SELECT doc_id, source, tok FROM e0

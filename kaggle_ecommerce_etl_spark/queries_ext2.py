@@ -22,6 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
 from pyspark.sql.window import Window
 
 from kaggle_ecommerce_etl_spark.queries_ext import (
@@ -239,7 +241,7 @@ def _pack_binned(d: DataFrame) -> DataFrame:
     offsets → within-bucket exclusive cumsum → bin_id. Returns
     (doc_id, n_tokens, norm_text, bin_id); callers that don't select
     norm_text get it pruned by Catalyst for free."""
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)
     tok = d.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -308,7 +310,7 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PACK_SEQUENCES = f"""
 WITH t AS (
   SELECT doc_id,
-         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+         len(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS n_tokens
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
@@ -333,7 +335,7 @@ def q_doc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen, zero shuffle. Reports kept/dropped token counts so the
     loss is measurable."""
     d = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)
     kept = F.slice(toks, 1, _TRUNC_TOKENS)
     return d.select(
         "doc_id",
@@ -347,7 +349,7 @@ def q_doc_truncate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_DOC_TRUNCATE = f"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+') AS w
   FROM documents)
 SELECT doc_id,
        array_to_string(w[1:{_TRUNC_TOKENS}], ' ') AS text_trunc,
@@ -390,9 +392,9 @@ def q_pack_materialize(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_PACK_MATERIALIZE = f"""
 WITH t AS (
   SELECT doc_id,
-         array_to_string(string_split_regex(lower(trim(text)), '\\s+'),
+         array_to_string(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+'),
                          ' ') AS norm_text,
-         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens
+         len(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS n_tokens
   FROM documents),
 c AS (
   SELECT doc_id, norm_text, n_tokens,
@@ -477,7 +479,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = d.select(
         "doc_id",
         F.explode(
-            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+            F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT))
         ).alias("tok"),
     )
     df = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
@@ -499,7 +501,7 @@ def q_token_rarity(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLE_TOKEN_RARITY = """
 WITH toks AS (
   SELECT doc_id, unnest(list_distinct(
-           string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+           string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+'))) AS tok
   FROM documents),
 df AS (SELECT tok, COUNT(*) AS df FROM toks GROUP BY tok)
 SELECT doc_id, COUNT(*) AS n_distinct,
@@ -1263,7 +1265,7 @@ def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kaggle_ecommerce_etl_spark.functions.text import fingerprint_expr
 
     docs = _t(spark, sf_dir, "documents")
-    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    toks = F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)
     base = docs.select(
         "doc_id",
         F.size(toks).alias("n_tokens"),
@@ -1358,8 +1360,8 @@ reach(id, r) AS (
   SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
 cc AS (SELECT id, MIN(r) AS cluster_id FROM reach GROUP BY id),
 base AS (SELECT doc_id,
-                len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tokens,
-                md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+                len(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS n_tokens,
+                md5(regexp_replace(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+', ' ', 'g')) AS fp
          FROM documents),
 kept1 AS (SELECT * FROM base WHERE n_tokens >= 20),
 kept2 AS (SELECT doc_id, n_tokens FROM (
@@ -1570,7 +1572,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # split expression inside the transform lambda re-evaluates it per
     # span (CSE-in-HOF — the shingles_expr/minhash lesson)
     dt = d.select(
-        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("__toks")
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT).alias("__toks")
     )
     toks = F.col("__toks")
     spans = F.transform(
@@ -1617,7 +1619,7 @@ def q_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_SPAN_DEDUP = f"""
 WITH t AS (
-  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS w
+  SELECT doc_id, string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+') AS w
   FROM documents),
 sp0 AS (
   SELECT doc_id,

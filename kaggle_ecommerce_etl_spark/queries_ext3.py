@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
+
 from kaggle_ecommerce_etl_spark.queries_ext import _t
 
 
@@ -132,7 +134,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate); the token explode rides the scan."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        F.explode(F.split(F.lower(F.col("text")), WS_SPLIT)).alias("token")
     ).filter(F.col("token") != "")
     sk = toks.agg(
         F.expr("approx_top_k(token, 64, 65536)").alias("tk"),
@@ -152,7 +154,7 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_HEAVY_HITTERS = """
 WITH toks AS (
-  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+  SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\x0B\\f]+')) AS token
   FROM documents
 ),
 t AS (SELECT token FROM toks WHERE token <> ''),
@@ -271,7 +273,7 @@ def q_topk_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "source",
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token"),
+        F.explode(F.split(F.lower(F.col("text")), WS_SPLIT)).alias("token"),
     ).filter(F.col("token") != "")
     parts = toks.groupBy("source").agg(
         F.expr("approx_top_k_accumulate(token, 65536)").alias("st"),
@@ -728,7 +730,7 @@ def q_cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     query it — never the stream."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.lower(F.col("text")), r"\s+")).alias("token")
+        F.explode(F.split(F.lower(F.col("text")), WS_SPLIT)).alias("token")
     ).filter(F.col("token") != "")
     total = toks.count()
     raw = bytes(
@@ -758,7 +760,7 @@ def q_cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_CMS_GATE = """
 WITH toks AS (
-  SELECT unnest(string_split_regex(lower(text), '\\s+')) AS token
+  SELECT unnest(string_split_regex(lower(text), '[ \\t\\n\\r\\x0B\\f]+')) AS token
   FROM documents
 ),
 t AS (SELECT token FROM toks WHERE token <> ''),
