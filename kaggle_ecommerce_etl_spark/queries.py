@@ -380,7 +380,7 @@ def q_tolerant_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_TOLERANT_NUMERIC = f"""
 SELECT l_orderkey, l_linenumber,
-       round(TRY_CAST(regexp_replace(raw, '[$,()\\s]', '', 'g') AS DOUBLE), 2) AS amount
+       round(TRY_CAST(regexp_replace(raw, '[$,() \\t\\n\\r\\x0B\\f]', '', 'g') AS DOUBLE), 2) AS amount
 FROM (
   SELECT l_orderkey, l_linenumber,
          CASE CAST(l_linenumber % 4 AS INT)
