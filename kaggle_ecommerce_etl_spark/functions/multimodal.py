@@ -181,7 +181,10 @@ def dedup_by_content(df: DataFrame) -> DataFrame:
     return df.groupBy("sha").agg(
         F.min("media_id").alias("media_id"),
         F.count(F.lit(1)).alias("n_copies"),
-        F.first("mime").alias("mime"),
+        # min, not first: identical bytes can arrive under different
+        # DECLARED mimes, and first() is partition-order
+        # nondeterministic across runs/retries
+        F.min("mime").alias("mime"),
         F.min("n_bytes").alias("n_bytes"),
     )
 

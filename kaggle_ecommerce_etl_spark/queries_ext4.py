@@ -41,6 +41,30 @@ from kaggle_ecommerce_etl_spark.queries_ext import _t
 _WS_SQL = WS_SPLIT
 
 
+def _shannon_entropy_agg(count_col: str = "c") -> Column:
+    """Aggregate Shannon entropy (bits) over a per-item count column:
+    H = log2(Σc) − Σ(c·log2 c)/Σc, rounded to 6. ONE definition for
+    both entropy queries (char- and token-level) so a future
+    formulation change cannot drift between them; `_entropy_sql` is
+    the oracle-side twin."""
+    c = F.col(count_col)
+    return F.round(
+        F.log2(F.sum(c).cast("double"))
+        - F.sum(c.cast("double") * F.log2(c.cast("double")))
+        / F.sum(c).cast("double"),
+        6,
+    )
+
+
+def _entropy_sql(count_col: str = "c") -> str:
+    return (
+        f"round(log2(CAST(SUM({count_col}) AS DOUBLE))\n"
+        f"             - SUM(CAST({count_col} AS DOUBLE)"
+        f" * log2(CAST({count_col} AS DOUBLE)))\n"
+        f"               / CAST(SUM({count_col}) AS DOUBLE), 6)"
+    )
+
+
 def _tok_explode(d: DataFrame, *key_cols: str) -> DataFrame:
     """THE tokenization contract of this module, defined once: carry
     ``key_cols``, explode lowercased trimmed whitespace tokens of
@@ -187,8 +211,14 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lambda re-evaluates it PER PAIR (CSE does not reach inside
     # higher-order functions — the minhash_base_expr lesson; measured
     # 5× on this query at sf0.1)
+    # empty tokens dropped from the ARRAY (trim strips only spaces, so
+    # tab/newline-led text yields a leading '' element) — the module's
+    # tokenization contract (_tok_explode) applied at array level
     toks = d.select(
-        F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT).alias("t")
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT),
+            lambda w: w != "",
+        ).alias("t")
     )
     t = F.col("t")
     pairs = F.when(
@@ -208,7 +238,9 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_BPE_PAIR_COUNTS = f"""
-WITH t AS (SELECT string_split_regex(lower(trim(text)), '{_WS_SQL}') AS t
+WITH t AS (SELECT list_filter(
+             string_split_regex(lower(trim(text)), '{_WS_SQL}'),
+             x -> x <> '') AS t
            FROM documents),
 p AS (SELECT unnest(CASE WHEN len(t) >= 2
                          THEN [t[i] || ' ' || t[i+1] for i in range(1, len(t))]
@@ -291,17 +323,12 @@ def q_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum("c").alias("n_chars_seen"),
             F.count(F.lit(1)).alias("n_distinct_chars"),
-            F.round(
-                F.log2(F.sum("c").cast("double"))
-                - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
-                / F.sum("c").cast("double"),
-                6,
-            ).alias("entropy"),
+            _shannon_entropy_agg("c").alias("entropy"),
         )
     )
 
 
-ORACLE_CHAR_ENTROPY = """
+ORACLE_CHAR_ENTROPY = f"""
 WITH chars AS (
   SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
   WHERE length(text) > 0
@@ -310,9 +337,7 @@ pc AS (SELECT doc_id, ch, count(*) AS c FROM chars GROUP BY doc_id, ch)
 SELECT doc_id,
        CAST(SUM(c) AS BIGINT) AS n_chars_seen,
        COUNT(*) AS n_distinct_chars,
-       round(log2(CAST(SUM(c) AS DOUBLE))
-             - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
-               / CAST(SUM(c) AS DOUBLE), 6) AS entropy
+       {_entropy_sql("c")} AS entropy
 FROM pc GROUP BY doc_id
 """
 
@@ -353,7 +378,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     # char_entropy's empty-string guard
     toks = d.filter(F.col("text").isNotNull()).select(
         "doc_id",
-        F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT).alias("t"),
+        # empty tokens dropped at array level (same contract note as
+        # bpe_pair_counts)
+        F.filter(
+            F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT),
+            lambda w: w != "",
+        ).alias("t"),
     )
     t = F.col("t")
     tris = F.array_distinct(
@@ -376,7 +406,9 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_NGRAM_NOVELTY = f"""
 WITH t AS (SELECT doc_id,
-                  string_split_regex(lower(trim(text)), '{_WS_SQL}') AS t
+                  list_filter(
+                    string_split_regex(lower(trim(text)), '{_WS_SQL}'),
+                    x -> x <> '') AS t
            FROM documents WHERE text IS NOT NULL),
 s AS (SELECT doc_id,
              list_distinct([array_to_string(t[i:i+2], ' ')
@@ -404,13 +436,23 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole-stage codegen; integer-exact. The Spark pattern spells the
     CJK range as literal characters (一-鿿 = U+4E00–U+9FFF) and the
     oracle uses RE2's ``\\x{XXXX}`` escapes — the same character
-    class in each engine's native spelling."""
+    class in each engine's native spelling. The fixture corpus is
+    pure printable ASCII, so the CJK class would be verified
+    VACUOUSLY; docs with doc_id % 7 == 0 therefore get a
+    deterministic 3-char CJK payload appended in-query (the
+    invisible_char_scrub convention: a class that never fires at
+    test scale needs a fixture that fires it), replicated in the
+    oracle."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    poisoned = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.col("text"), F.lit(" 漢字文")),
+    ).otherwise(F.col("text"))
 
     def n_of(pattern: str) -> Column:
-        return F.length(F.regexp_replace(F.col("text"), pattern, ""))
+        return F.length(F.regexp_replace(poisoned, pattern, ""))
 
-    total = F.length("text")
+    total = F.length(poisoned)
     latin = n_of(r"[^A-Za-z]")
     digit = n_of(r"[^0-9]")
     cjk = n_of("[^一-鿿]")
@@ -428,18 +470,23 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_SCRIPT_PROFILE = r"""
+WITH p AS (
+  SELECT doc_id, lang,
+         CASE WHEN doc_id % 7 = 0 THEN text || ' 漢字文' ELSE text END AS t
+  FROM documents WHERE length(text) > 0
+)
 SELECT doc_id, lang,
-       length(text) AS n_chars_total,
-       length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_latin,
-       length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit,
-       length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
-       length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS n_space,
-       length(text)
-         - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
-         - length(regexp_replace(text, '[^0-9]', '', 'g'))
-         - length(regexp_replace(text, '[^\x{4e00}-\x{9fff}]', '', 'g'))
-         - length(regexp_replace(text, '[^ \t\n\r]', '', 'g')) AS n_other
-FROM documents WHERE length(text) > 0
+       length(t) AS n_chars_total,
+       length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS n_latin,
+       length(regexp_replace(t, '[^0-9]', '', 'g')) AS n_digit,
+       length(regexp_replace(t, '[^\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+       length(regexp_replace(t, '[^ \t\n\r]', '', 'g')) AS n_space,
+       length(t)
+         - length(regexp_replace(t, '[^A-Za-z]', '', 'g'))
+         - length(regexp_replace(t, '[^0-9]', '', 'g'))
+         - length(regexp_replace(t, '[^\x{4e00}-\x{9fff}]', '', 'g'))
+         - length(regexp_replace(t, '[^ \t\n\r]', '', 'g')) AS n_other
+FROM p
 """
 
 
@@ -461,12 +508,7 @@ def q_token_entropy_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_tok.groupBy("source").agg(
         F.sum("c").alias("n_tokens"),
         F.count(F.lit(1)).alias("n_distinct_tokens"),
-        F.round(
-            F.log2(F.sum("c").cast("double"))
-            - F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double")))
-            / F.sum("c").cast("double"),
-            6,
-        ).alias("token_entropy"),
+        _shannon_entropy_agg("c").alias("token_entropy"),
     )
 
 
@@ -481,9 +523,7 @@ pt AS (SELECT source, tok, count(*) AS c FROM toks
 SELECT source,
        CAST(SUM(c) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_distinct_tokens,
-       round(log2(CAST(SUM(c) AS DOUBLE))
-             - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE)))
-               / CAST(SUM(c) AS DOUBLE), 6) AS token_entropy
+       {_entropy_sql("c")} AS token_entropy
 FROM pt GROUP BY source
 """
 
@@ -793,18 +833,31 @@ def q_multimodal_chunk_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame
         "n_bytes",
         (F.col("rebuilt_md5") == F.col("orig_md5")).alias("intact"),
     )
-    # the chunk inventory must also agree with media_byte_chunks
-    inv = chunks.groupBy("media_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_chunks_inv")
+    # pin the LIBRARY path, not just counts: every local slice's
+    # (chunk_idx, md5) must find its exact twin among
+    # media_byte_chunks' digests — a boundary bug in the library that
+    # preserved chunk counts would otherwise slip through the gate
+    lib = chunks.select("media_id", "chunk_idx", "chunk_md5")
+    loc = sliced.select(
+        "media_id",
+        F.col("c.chunk_idx").alias("chunk_idx"),
+        F.md5(F.col("c.chunk")).alias("chunk_md5"),
+    )
+    matched = (
+        loc.join(lib, ["media_id", "chunk_idx", "chunk_md5"])
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
     )
     return (
-        out.join(inv, "media_id")
+        out.join(matched, "media_id", "left")
         .select(
             "media_id",
             "n_chunks",
             "n_bytes",
-            (F.col("intact") & (F.col("n_chunks") == F.col("n_chunks_inv")))
-            .alias("intact"),
+            (
+                F.col("intact")
+                & (F.coalesce(F.col("n_matched"), F.lit(0)) == F.col("n_chunks"))
+            ).alias("intact"),
         )
     )
 

@@ -200,8 +200,10 @@ def test_script_profile_matches_naive(spark, sf_dir):
     got = {r.doc_id: r for r in q4.q_script_profile(spark, sf_dir).collect()}
     texts = _texts(spark, sf_dir)
     assert set(got) == {d for d, t in texts.items() if len(t) > 0}
+    # the CJK class fires LIVE via the deterministic injection
+    assert any(r.n_cjk > 0 for r in got.values())
     for doc_id in list(got)[:50]:
-        t = texts[doc_id]
+        t = texts[doc_id] + (" 漢字文" if doc_id % 7 == 0 else "")
         r = got[doc_id]
         n_latin = sum(1 for c in t if c.isascii() and c.isalpha())
         n_digit = sum(1 for c in t if c.isascii() and c.isdigit())
