@@ -94,6 +94,11 @@ EXTRA = [
     "script_profile",
     "token_entropy_by_source",
     "multimodal_byte_chunks",
+    "multimodal_chunk_reassemble",
+    "invisible_char_scrub",
+    "embedding_qc",
+    "token_coverage_curve",
+    "lang_confusion",
 ]
 
 
