@@ -1587,17 +1587,22 @@ DRIVER_WINDOW = (
     # (ORACLE_LOCAL_r0*.txt) and head the r5 rotation.
     "udtf_repeat_runs", "state_store_read", "arrow_group_mad",
     "pyds_stream_run", "jdbc_roundtrip",
-    "market_share", "returned_revenue", "salted_skew_join",
+    "market_share", "salted_skew_join",
     "hierarchy_rollup", "resample_gapfill", "schema_drift_merge",
-    "streaming_upsert_run",
-    # fifth-wave corpus-analytics family (token-distribution drift —
-    # integer-exact TV distance; no sibling anywhere in CORRECTNESS
-    # history). Takes the slot of streaming_window_run, whose
-    # streaming family keeps FOUR in-window representatives
-    # (events_tumbling anchor, streaming_upsert_run,
-    # stream_stream_join_run, pyds_stream_run); it stays locally
-    # verified (ORACLE_LOCAL_r04.txt) and rotates back in r5.
-    "source_token_drift",
+    # fifth-wave corpus-analytics families (no sibling anywhere in
+    # CORRECTNESS history): token-distribution drift (integer-exact
+    # TV), byte-range media chunking (the multimodal CHUNKING family
+    # — multimodal_metadata's anchor covers only metadata), and
+    # character-entropy quality. They take the slots of
+    # streaming_window_run (streaming family keeps events_tumbling
+    # anchor + stream_stream_join_run + pyds_stream_run in-window),
+    # streaming_upsert_run (foreachBatch-upsert semantics anchored by
+    # the green upsert_roundtrip; r2-green sibling), and
+    # returned_revenue (decimal-hardened TPC-H family keeps
+    # market_share in-window and pricing_summary anchored). All three
+    # displaced stay locally verified (ORACLE_LOCAL_r04.txt) and head
+    # the r5 rotation with the proposal in ROTATION_r05_PROPOSAL.txt.
+    "source_token_drift", "multimodal_byte_chunks", "char_entropy",
     # fourth-wave families (new this round, no green sibling anywhere):
     # recursive CTE closure, sketch-exactness gates (heavy_hitters
     # reps approx_top_k; hll/theta/quantile gates rotate r5), custom
