@@ -20,10 +20,12 @@ merge round is then:
      dup_clusters' label propagation).
 
 `q_bpe_pair_counts` (queries_ext4) puts step 1's statistic on the
-DuckDB-oracle surface; the loop itself is iterative-argmax and not
-SQL-expressible, so its correctness anchor is
-tests/test_bpe.py::test_bpe_learn_matches_naive — an exact match
-against an independent pure-Python reference on every merge.
+DuckDB-oracle surface and `q_bpe_tokenize_counts` (queries_ext4) puts
+the APPLY path (:func:`bpe_tokenize_joined`) on it; the training loop
+itself is iterative-argmax and not SQL-expressible, so its
+correctness anchor is
+tests/test_queries_ext4.py::test_bpe_learn_matches_naive — an exact
+match against an independent pure-Python reference on every merge.
 """
 
 from __future__ import annotations
@@ -126,6 +128,29 @@ def bpe_learn(
             "word", "freq", _merge_fold(F.col("syms"), a, b).alias("syms")
         ).localCheckpoint(eager=True)
     return merges, words
+
+
+def bpe_apply_word(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Pure-Python leftmost non-overlapping merge replay for ONE word —
+    the naive twin of :func:`_merge_fold`'s expression chain. Used to
+    derive the committed literal vocabulary of queries_ext4's
+    `bpe_tokenize_counts`: deterministic (literals in, literals out) —
+    both the Spark vocab DataFrame and the DuckDB oracle VALUES list
+    are rendered from this one function, so the two engines join the
+    SAME (word, syms) table by construction."""
+    syms = list(word)
+    for a, b in merges:
+        out: list[str] = []
+        i = 0
+        while i < len(syms):
+            if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
 
 
 def bpe_learn_naive(

@@ -1529,14 +1529,22 @@ EXT_TOP = ("streaming_dedup_run", "streaming_sessionize_run", "asof_join_orders"
 #: One representative per SURVEY §2 family that must NEVER rotate out
 #: of DRIVER_WINDOW (single source of truth for
 #: tests/test_entry.py::test_driver_window_invariants and
-#: scripts/rotate_window.py).
+#: scripts/rotate_window.py). Trimmed 16 → 8 at r5 (VERDICT r4 next-
+#: round #1): one anchor per COARSE family — relational agg
+#: (pricing_summary), keyed dedup/conflict (conflict_split_clean),
+#: pipeline composition (pipeline_amazon_clean), source+sink roundtrip
+#: (csv_roundtrip), streaming drain (events_tumbling), doc dedup
+#: (dedup_exact_docs), similarity (cosine_topk), corpus op
+#: (pack_sequences) — freeing 8 slots/round for the never-driver-green
+#: tail. The 8 dropped anchors (dedup_full_rows, tolerant_numeric,
+#: date_normalize, month_datetime, na_canonicalize, upsert_roundtrip,
+#: ddl_roundtrip, minhash_signatures, multimodal_metadata) all have
+#: ≥1 driver-green row in CORRECTNESS_r0{1..4} and stay locally
+#: verified every round by scripts/check_oracle.py.
 WINDOW_ANCHORS = (
-    "pricing_summary", "conflict_split_clean", "dedup_full_rows",
-    "tolerant_numeric", "date_normalize", "month_datetime",
-    "na_canonicalize", "pipeline_amazon_clean", "csv_roundtrip",
-    "upsert_roundtrip", "ddl_roundtrip", "events_tumbling",
-    "dedup_exact_docs", "minhash_signatures", "cosine_topk",
-    "multimodal_metadata",
+    "pricing_summary", "conflict_split_clean", "pipeline_amazon_clean",
+    "csv_roundtrip", "events_tumbling", "dedup_exact_docs",
+    "cosine_topk", "pack_sequences",
 )
 
 #: The driver hash-checks the FIRST 50 registry queries. This list IS
@@ -1560,64 +1568,65 @@ WINDOW_ANCHORS = (
 #: oldest-added first and keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
-    # §2 family representatives (driver-green in r1-r3, kept inside)
-    "pricing_summary", "conflict_split_clean", "dedup_full_rows",
-    "colname_normalize", "align_columns", "na_canonicalize",
-    "tolerant_numeric", "date_normalize", "month_datetime",
-    "text_standardize", "mostly_null_filter", "critical_dropna",
-    "null_counts", "parse_gate", "drop_allnull_cols",
-    "pipeline_sale", "pipeline_amazon_clean", "pipeline_international",
-    "upsert_roundtrip", "csv_roundtrip", "incremental_read",
-    "ddl_roundtrip", "audit_columns", "summary_stats_exact",
-    "events_tumbling", "dedup_exact_docs", "minhash_signatures",
-    "cosine_topk", "multimodal_metadata",
-    # r4 rotation: never-driver-checked entries promoted this round.
-    # Late-r4 adjustment: four brand-new ENGINE-API families landed
-    # after the window was first cut (Arrow Python UDTF, state-store
-    # reader, applyInArrow grouped kernel, streaming Python
-    # DataSource) — by this window's own policy (never-checked
-    # families with no green sibling rank first) they take the slots
-    # of four never-checked entries whose FAMILY keeps an in-window or
-    # driver-green sibling: dup_clusters (iterative-CC sibling
-    # semantic_dedup_keep stays in-window), incremental_neardup +
-    # decontaminate (inverted-index n-gram join family:
-    # minhash/word_jaccard green, minhash_signatures anchored),
-    # tfidf_top_terms (explode+agg text family: token_count/lang_id
-    # green). All four displaced stay locally oracle-verified
-    # (ORACLE_LOCAL_r0*.txt) and head the r5 rotation.
-    "udtf_repeat_runs", "state_store_read", "arrow_group_mad",
-    "pyds_stream_run", "jdbc_roundtrip",
-    "market_share", "salted_skew_join",
-    "hierarchy_rollup", "resample_gapfill", "schema_drift_merge",
-    # fifth-wave corpus-analytics families (no sibling anywhere in
-    # CORRECTNESS history): token-distribution drift (integer-exact
-    # TV), byte-range media chunking (the multimodal CHUNKING family
-    # — multimodal_metadata's anchor covers only metadata), and
-    # character-entropy quality. They take the slots of
-    # streaming_window_run (streaming family keeps events_tumbling
-    # anchor + stream_stream_join_run + pyds_stream_run in-window),
-    # streaming_upsert_run (foreachBatch-upsert semantics anchored by
-    # the green upsert_roundtrip; r2-green sibling), and
-    # returned_revenue (decimal-hardened TPC-H family keeps
-    # market_share in-window and pricing_summary anchored). All three
-    # displaced stay locally verified (ORACLE_LOCAL_r04.txt) and head
-    # the r5 rotation with the proposal in ROTATION_r05_PROPOSAL.txt.
-    "source_token_drift", "multimodal_byte_chunks", "char_entropy",
-    # fourth-wave families (new this round, no green sibling anywhere):
-    # recursive CTE closure, sketch-exactness gates (heavy_hitters
-    # reps approx_top_k; hll/theta/quantile gates rotate r5), custom
-    # Python DataSource. They displace asof_join_forward (sibling
-    # asof_join_orders r3-green), pii_scrub (text-fn family lang_id/
-    # quality_score/token_count r2/r3-green) and rollup_sales
-    # (relational-agg family pricing_summary/market_share in-window) —
-    # all three stay locally verified and rotate in r5.
-    "recursive_ancestors", "heavy_hitters", "pyds_manifest_read",
-    # third-wave families (new this round, no green sibling);
-    # corpus_pipeline composes shuffle+pack+dedup end-to-end, so it
-    # takes the slot over the standalone corpus_shuffle (locally
-    # verified, rotates r5)
-    "stream_stream_join_run", "semantic_dedup_keep", "jsonl_roundtrip",
-    "pack_sequences", "corpus_pipeline",
+    # r5 rotation (scripts/rotate_window.py output, VERDICT r4 next-
+    # round #1 executed): anchors trimmed 16 → 8 (one per coarse §2
+    # family, see WINDOW_ANCHORS) + 42 never-driver-green entries,
+    # oldest-added first. Registry growth is FROZEN this round (only
+    # the judge-requested bpe_tokenize_counts addition + the
+    # ann_lsh_topk oracle upgrade), so the never-green tail burns
+    # down 125 → ≤83 if this window goes 50/50. Every rotated-out
+    # query keeps local verification via scripts/check_oracle.py
+    # (ORACLE_LOCAL_r05.txt).
+    "pricing_summary",        # anchor
+    "conflict_split_clean",   # anchor
+    "pipeline_amazon_clean",  # anchor
+    "csv_roundtrip",          # anchor
+    "events_tumbling",        # anchor
+    "dedup_exact_docs",       # anchor
+    "cosine_topk",            # anchor
+    "pack_sequences",         # anchor
+    "pipeline_jdbc_load",
+    "explode_tokens",
+    "conditional_agg",
+    "word_jaccard_capped",
+    "exists_late_orders",
+    "nation_volume_pairs",
+    "promo_revenue",
+    "disjunctive_revenue",
+    "customers_no_orders",
+    "rollup_sales",
+    "grouping_sets",
+    "full_outer_nation",
+    "semi_join_customers",
+    "quantile_stats",
+    "corr_stats",
+    "array_funcs",
+    "regexp_stats",
+    "date_buckets",
+    "shingle_jaccard_pairs",
+    "embedding_neardup_pairs",
+    "latest_per_key",
+    "tfidf_top_terms",
+    "bigram_doc_freq",
+    "hash_sample",
+    "bucketed_join_agg",
+    "partition_pruned_read",
+    "dup_clusters",
+    "scd2_versions",
+    "token_stats_by_lang",
+    "event_attribution",
+    "winnow_fingerprints",
+    "multimodal_frame_sample",
+    "stratified_sample",
+    "jaccard_pairs_prefix",
+    "rank_functions",
+    "pii_scrub",
+    "repetition_ratio",
+    "decontaminate",
+    "embedding_quantize",
+    "fuzzy_name_pairs",
+    "funnel_conversion",
+    "returned_revenue",
 )
 
 

@@ -641,22 +641,59 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-prefiltered near-dup pairs — the 100 TB sibling of
     `embedding_neardup_pairs`: single (table,bucket) self-equi-join
-    generates candidates, only candidates pay exact cosine. No SQL
-    oracle (seeded-PRNG buckets → approximate); recall vs the exact
-    pair set is asserted in tests/test_queries_ext.py."""
+    generates candidates, only candidates pay exact cosine.
+
+    ORACLE-CHECKED since r5 (same upgrade as `ann_lsh_topk`): the
+    seeded hyperplanes are emitted as float literals into
+    `_emb_neardup_lsh_oracle()`, so DuckDB re-derives the candidate
+    set — including its recall misses — exactly; recall vs the exact
+    pair set stays asserted in tests/test_queries_ext.py."""
     from kaggle_ecommerce_etl_spark.functions.similarity import lsh_neardup_pairs
 
     emb = _t(spark, sf_dir, "embeddings")
     return lsh_neardup_pairs(emb, threshold=0.4)
 
 
+def _emb_neardup_lsh_oracle(
+    threshold: float = 0.4, n_planes: int = 3, n_tables: int = 16,
+    dim: int = 64, seed: int = 42,
+) -> str:
+    """DuckDB twin of `q_embedding_neardup_lsh` (defaults MUST mirror
+    `lsh_neardup_pairs`' signature defaults used above)."""
+    union = _lsh_bucket_union_sql(n_planes, n_tables, dim, seed)
+    return f"""
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+{union}
+),
+cand AS (SELECT DISTINCT a.vec_id AS id1, c.vec_id AS id2
+         FROM b a JOIN b c ON a.tbl = c.tbl AND a.bucket = c.bucket
+                           AND a.vec_id < c.vec_id),
+s AS (SELECT cand.id1, cand.id2,
+             round(list_cosine_similarity(v1.v, v2.v), 6) AS sim
+      FROM cand JOIN t v1 ON v1.vec_id = cand.id1
+                JOIN t v2 ON v2.vec_id = cand.id2)
+SELECT id1, id2, sim FROM s WHERE sim >= {threshold}
+"""
+
+
 def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH buckets + exact
     re-rank inside the bucket. Seed-derived hyperplanes live in the
     plan as literals; the join is an equi-join on the bucket id (hash-
-    partitioned — the scale path where brute force is n²). No SQL
-    oracle (bucket assignment depends on the driver-side PRNG);
-    recall-vs-bruteforce is asserted in tests/test_queries_ext.py."""
+    partitioned — the scale path where brute force is n²).
+
+    ORACLE-CHECKED since r5 (VERDICT r4 next-round #3): the
+    hyperplanes are a deterministic function of committed constants
+    (seed 42, dim 64, b=3, T=12 — `hyperplanes()` is pure
+    `random.Random`), so `_ann_lsh_oracle()` renders the SAME plane
+    vectors as float literals into DuckDB SQL which re-derives every
+    bucket assignment exactly (sign of the plane dot product packed
+    into the bucket id, one UNION ALL branch per table). The only
+    cross-engine risk is a sign flip for a vector lying numerically ON
+    a hyperplane (fp-summation-order, |proj| ≲ 1e-14) — never observed
+    on the synthetic corpus; recall-vs-bruteforce stays asserted in
+    tests/test_queries_ext.py."""
     from kaggle_ecommerce_etl_spark.functions.similarity import lsh_bucket_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -668,6 +705,62 @@ def q_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucket_topk(
         emb.filter(F.col("vec_id") < 20), emb, k=5, n_planes=3, n_tables=12
     )
+
+
+def _lsh_bucket_union_sql(n_planes: int, n_tables: int, dim: int, seed: int) -> str:
+    """Render the (vec_id, tbl, bucket) UNION ALL — one branch per LSH
+    table, the seed-derived hyperplanes emitted as float literals
+    (repr() round-trips float64 exactly), bucket id = sign bits of the
+    plane dot products packed exactly as `all_buckets_udf` packs them.
+    Shared by the `ann_lsh_topk` and `embedding_neardup_lsh` oracles."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import hyperplanes
+
+    branches = []
+    for t in range(n_tables):
+        planes = hyperplanes(dim, n_planes, seed + 1000 * t)
+        terms = []
+        for i, plane in enumerate(planes):
+            lits = ", ".join(repr(x) for x in plane)
+            terms.append(
+                f"CASE WHEN list_dot_product(v, [{lits}]) >= 0"
+                f" THEN {2 ** i} ELSE 0 END"
+            )
+        bucket = "\n        + ".join(terms)
+        branches.append(
+            f"  SELECT vec_id, {t} AS tbl,\n        ({bucket}) AS bucket\n"
+            f"  FROM t"
+        )
+    return "\n  UNION ALL\n".join(branches)
+
+
+def _ann_lsh_oracle(
+    k: int = 5, n_planes: int = 3, n_tables: int = 12, dim: int = 64,
+    seed: int = 42, query_max: int = 20,
+) -> str:
+    """DuckDB twin of `q_ann_lsh_topk`: recomputes every bucket
+    assignment bit-for-bit from the committed constants. Parameters
+    MUST mirror the q_ann_lsh_topk call above."""
+    union = _lsh_bucket_union_sql(n_planes, n_tables, dim, seed)
+    return f"""
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+b AS (
+{union}
+),
+q AS (SELECT vec_id AS query_id, tbl, bucket FROM b WHERE vec_id < {query_max}),
+cand AS (SELECT DISTINCT c.vec_id AS neighbor_id, q.query_id
+         FROM b c JOIN q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         WHERE c.vec_id <> q.query_id),
+s AS (SELECT cand.query_id, cand.neighbor_id,
+             round(list_cosine_similarity(qv.v, cv.v), 6) AS sim
+      FROM cand JOIN t qv ON qv.vec_id = cand.query_id
+                JOIN t cv ON cv.vec_id = cand.neighbor_id),
+r AS (SELECT query_id, neighbor_id, sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id) AS rank
+      FROM s)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}
+"""
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2722,8 +2815,8 @@ EXT_REGISTRY = {
     "date_buckets": (q_date_buckets, ORACLE_DATE_BUCKETS),
     "shingle_jaccard_pairs": (q_shingle_jaccard_pairs, ORACLE_SHINGLE_JACCARD),
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMB_NEARDUP),
-    "embedding_neardup_lsh": (q_embedding_neardup_lsh, None),
-    "ann_lsh_topk": (q_ann_lsh_topk, None),
+    "embedding_neardup_lsh": (q_embedding_neardup_lsh, _emb_neardup_lsh_oracle()),
+    "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_oracle()),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "latest_per_key": (q_latest_per_key, ORACLE_LATEST_PER_KEY),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
