@@ -727,7 +727,14 @@ def q_cms_frequency_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     built fully ENGINE-SIDE by the count_min_sketch aggregate
     (mergeable partials, w×d ≈ 2719×7 longs ≈ 150 KB regardless of
     stream size); the driver deserializes that one bounded blob to
-    query it — never the stream."""
+    query it — never the stream.
+
+    DRIVER-TRANSFER INVARIANT: the heavy-hitter collect below is
+    bounded at < 50 rows BY CONSTRUCTION — the predicate n·50 > total
+    is relative (Σn = total, so at most 49 tokens can each exceed
+    total/50). Any edit replacing it with an absolute threshold
+    unbounds the collect; the bound is pinned adversarially by
+    tests/test_queries_ext3.py::test_cms_gate_collect_is_bounded."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.lower(F.col("text")), WS_SPLIT)).alias("token")

@@ -96,8 +96,9 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding boundary (TV is rational); the integer pair cannot drift
     between engines. Output columns are BIGINT (exact while slice
     sizes stay ≤ ~1.5e9 tokens — pandas renders wide decimals
-    asymmetrically across engines); past that, read the pre-cast
-    decimal columns instead.
+    asymmetrically across engines); past that, call
+    ``token_drift_from_counts(counts, exact_decimals=True)`` to keep
+    the pre-cast DECIMAL columns.
 
     Plan shape: one explode+groupBy over the two slices (map-side
     combined), a 1-row totals aggregate broadcast-cross-joined back
@@ -120,7 +121,9 @@ def q_source_token_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return token_drift_from_counts(counts)
 
 
-def token_drift_from_counts(counts: DataFrame, top_k: int = 20) -> DataFrame:
+def token_drift_from_counts(
+    counts: DataFrame, top_k: int = 20, exact_decimals: bool = False
+) -> DataFrame:
     """The production entry point for TV drift: takes a (tok, c0, c1)
     counts frame and returns the top-k drifted tokens with the exact
     TV numerator/denominator pair. At 100 TB the caller builds
@@ -128,24 +131,34 @@ def token_drift_from_counts(counts: DataFrame, top_k: int = 20) -> DataFrame:
     and every statistic below reads the cached frame — this function
     deliberately owns everything downstream of the one expensive
     aggregation so the persist boundary is a single line in the
-    caller."""
+    caller.
+
+    ``exact_decimals=True`` is the overflow escape hatch the registry
+    query's docstring points to: drift_num/tv_num/tv_den stay DECIMAL
+    (exact past the ~1.5e9-token slice size where the default BIGINT
+    cast would go NULL under Spark's non-ANSI decimal→long). The
+    default stays BIGINT because pandas renders wide decimals
+    asymmetrically across engines on the oracle surface
+    (tests/test_queries_ext4.py::test_token_drift_exact_decimals pins
+    value equality between the two modes)."""
     totals = counts.agg(
         F.sum("c0").cast("decimal(18,0)").alias("t0"),
         F.sum("c1").cast("decimal(18,0)").alias("t1"),
     )
+    drift_num = F.abs(
+        F.col("c0").cast("decimal(18,0)") * F.col("t1")
+        - F.col("c1").cast("decimal(18,0)") * F.col("t0")
+    )
+    tv_den = F.lit(2).cast("decimal(18,0)") * F.col("t0") * F.col("t1")
+    if not exact_decimals:
+        drift_num = drift_num.cast("long")
+        tv_den = tv_den.cast("long")
     drift = counts.crossJoin(F.broadcast(totals)).select(
         "tok",
         "c0",
         "c1",
-        F.abs(
-            F.col("c0").cast("decimal(18,0)") * F.col("t1")
-            - F.col("c1").cast("decimal(18,0)") * F.col("t0")
-        )
-        .cast("long")
-        .alias("drift_num"),
-        (F.lit(2).cast("decimal(18,0)") * F.col("t0") * F.col("t1"))
-        .cast("long")
-        .alias("tv_den"),
+        drift_num.alias("drift_num"),
+        tv_den.alias("tv_den"),
     )
     tv = drift.agg(F.sum("drift_num").alias("tv_num"))
     return (

@@ -123,6 +123,7 @@ def test_quality_score_matches_exact_fraction_reference(spark, docs):
 
     from kaggle_ecommerce_etl_spark.functions.text import (
         STOPWORDS,
+        WS_SPLIT,
         quality_score_expr,
     )
 
@@ -140,7 +141,9 @@ def test_quality_score_matches_exact_fraction_reference(spark, docs):
     sw = set(STOPWORDS["en"])
     for i, t in enumerate(texts):
         trimmed = t.strip()
-        n = 0 if trimmed == "" else len(re.split(r"\s+", trimmed))
+        # WS_SPLIT, not r"\s+": the naive reference must use the SAME
+        # portable whitespace class as the engine (r4 migration contract)
+        n = 0 if trimmed == "" else len(re.split(WS_SPLIT, trimmed))
         l1 = max(len(t), 1)
         n1 = max(n, 1)
         p = sum(1 for ch in t if ch in ".!?,;:")
@@ -166,6 +169,7 @@ def test_quality_score_exact_for_large_documents(spark):
 
     from kaggle_ecommerce_etl_spark.functions.text import (
         STOPWORDS,
+        WS_SPLIT,
         quality_score_expr,
     )
 
@@ -183,7 +187,9 @@ def test_quality_score_exact_for_large_documents(spark):
     sw = set(STOPWORDS["en"])
     for i, t in enumerate(texts):
         trimmed = t.strip()
-        n = 0 if trimmed == "" else len(re.split(r"\s+", trimmed))
+        # WS_SPLIT, not r"\s+": the naive reference must use the SAME
+        # portable whitespace class as the engine (r4 migration contract)
+        n = 0 if trimmed == "" else len(re.split(WS_SPLIT, trimmed))
         l1 = max(len(t), 1)
         n1 = max(n, 1)
         p = sum(1 for ch in t if ch in ".!?,;:")

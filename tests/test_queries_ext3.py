@@ -182,6 +182,25 @@ def test_cms_gate_bounds_hold(spark, sf_dir):
     assert rows and all(r.cms_ok is True for r in rows)
 
 
+def test_cms_gate_collect_is_bounded(spark, tmp_path):
+    """The heavy-hitter collect in q_cms_frequency_gate is driver-safe
+    ONLY because its predicate is RELATIVE (n·50 > total ⇒ fewer than
+    50 rows can qualify, Σn = total). Pin that invariant adversarially:
+    a corpus of 3000 distinct singleton tokens plus one genuine hitter
+    must yield ≤ 49 rows — an edit that weakens the predicate to an
+    absolute count (e.g. n ≥ 1) would collect all 3001 tokens here and
+    fail, catching the silent driver-transfer unbounding the r4 review
+    flagged (VERDICT r4 what's-wrong #1)."""
+    docs = [(i, "src0", f"tok{i}") for i in range(3000)]
+    docs += [(3000 + i, "src0", "hot hot hot") for i in range(40)]
+    spark.createDataFrame(
+        docs, "doc_id long, source string, text string"
+    ).write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    rows = q3.q_cms_frequency_gate(spark, str(tmp_path)).collect()
+    assert 0 < len(rows) <= 49
+    assert [r.token for r in rows] == ["hot"]
+
+
 def test_regr_fit_matches_numpy(spark, sf_dir):
     import numpy as np
 

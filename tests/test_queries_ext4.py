@@ -342,9 +342,11 @@ def test_token_drift_persisted_counts_identical(spark, sf_dir):
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
         F.col("source").isin("src0", "src1")
     )
+    from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
+
     toks = d.select(
         "source",
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("tok"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT)).alias("tok"),
     ).filter(F.col("tok") != "")
     counts = toks.groupBy("tok").agg(
         F.sum((F.col("source") == "src0").cast("long")).alias("c0"),
@@ -356,6 +358,31 @@ def test_token_drift_persisted_counts_identical(spark, sf_dir):
         assert got == want
     finally:
         counts.unpersist()
+
+
+def test_token_drift_exact_decimals(spark):
+    """exact_decimals=True (the documented >1.5e9-token overflow
+    escape hatch) keeps drift_num/tv_num/tv_den DECIMAL and agrees
+    value-for-value with the default BIGINT mode at small scale."""
+    from decimal import Decimal
+
+    from kaggle_ecommerce_etl_spark.queries_ext4 import (
+        token_drift_from_counts,
+    )
+
+    counts = spark.createDataFrame(
+        [("a", 5, 1), ("b", 2, 4), ("c", 0, 3)], "tok string, c0 long, c1 long"
+    )
+    long_rows = {r.tok: r for r in token_drift_from_counts(counts).collect()}
+    dec = token_drift_from_counts(counts, exact_decimals=True)
+    dtypes = dict(dec.dtypes)
+    for col in ("drift_num", "tv_den", "tv_num"):
+        assert dtypes[col].startswith("decimal"), (col, dtypes[col])
+    for r in dec.collect():
+        want = long_rows[r.tok]
+        assert r.drift_num == Decimal(want.drift_num)
+        assert r.tv_num == Decimal(want.tv_num)
+        assert r.tv_den == Decimal(want.tv_den)
 
 
 def test_bpe_tokenize_applies_merges_exactly(spark, sf_dir):
