@@ -85,6 +85,9 @@ EXTRA = [
     "udtf_repeat_runs",
     "arrow_group_mad",
     "rolling_median",
+    # r5: iterative connected components joins the extras so its sf1
+    # scale-up (below) has an sf0.1 base measurement
+    "dup_clusters",
     # fifth wave: corpus analytics (drift, BPE statistic, novelty)
     "source_token_drift",
     "bpe_pair_counts",
@@ -102,14 +105,24 @@ EXTRA = [
 ]
 
 
-#: the 5 most expensive headline queries get an sf1 spot-bench (10×
-#: sf0.1) to expose scaling curves the single-SF bench can't.
+#: the most expensive headline queries PLUS the heavy extras (VERDICT
+#: r4 next-round #4) get an sf1 spot-bench (10× sf0.1) to expose
+#: scaling curves the single-SF bench can't. semantic_dedup_keep is
+#: the deliberate outlier: its exact-pair O(n²) contract means 10×
+#: rows ⇒ ~100× pair volume — the measured point anchors the
+#: crossover analysis in SCALING.md (when the exact path's compute
+#: wall forces the embedding_neardup_lsh route).
 SF1_QUERIES = [
     "conflict_split_flagged",
     "revenue_by_nation",
     "ann_lsh_topk",
     "word_jaccard_pairs",
     "minhash_signatures",
+    "semantic_dedup_keep",
+    "corpus_pipeline",
+    "ngram_novelty",
+    "lang_confusion",
+    "dup_clusters",
 ]
 SF1_REPLICAS = 10
 
@@ -262,32 +275,38 @@ def main() -> None:
     # window (same plan measures 0.93 s standalone) — a third run makes
     # one noisy pair unable to distort the headline.
     N_RUNS = 3
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
+
+    def _time(name: str, run_dir: str, n_runs: int) -> tuple[float, list[float]]:
+        """min-of-n + the individual run times (per-run spreads in the
+        BENCH record separate scheduler noise from plan drift — the
+        r4 quality_score 0.244→0.524 wobble was unexplainable without
+        them; VERDICT r4 next-round #6)."""
         fn, _oracle = REGISTRY[name]
-        best = None
-        for _ in range(N_RUNS):
+        runs: list[float] = []
+        for _ in range(n_runs):
             t0 = time.time()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
+            fn(spark, run_dir).write.format("noop").mode("overwrite").save()
+            runs.append(round(time.time() - t0, 3))
+        return min(runs), runs
+
+    timings: dict[str, float] = {}
+    run_detail: dict[str, list[float]] = {}
+    for name in HEADLINE:
+        best, runs = _time(name, sf_dir, N_RUNS)
         timings[name] = round(best, 3)
+        run_detail[name] = runs
 
     total = round(sum(timings.values()), 3)
 
     extra_timings: dict[str, float] = {}
+    extra_run_detail: dict[str, list[float]] = {}
     if os.environ.get("SPARK_GRAFT_EXTRA", "1") != "0":
         for name in EXTRA:
-            fn, _oracle = REGISTRY[name]
-            best = None
-            for _ in range(N_RUNS):
-                t0 = time.time()
-                fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            best, runs = _time(name, sf_dir, N_RUNS)
             extra_timings[name] = round(best, 3)
+            extra_run_detail[name] = runs
 
-    # sf1 spot-bench: 10× derived scale-up for the 5 most expensive
+    # sf1 spot-bench: 10× derived scale-up for the most expensive
     # queries — the scaling curve, not just the point measurement.
     # Disable with SPARK_GRAFT_SF1=0 for quick local iterations.
     sf1_timings: dict[str, float] = {}
@@ -295,16 +314,11 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
         sf1_dir = _build_sf1(spark, sf_dir)
         for name in SF1_QUERIES:
-            fn, _oracle = REGISTRY[name]
-            best = None
-            for _ in range(2):
-                t0 = time.time()
-                fn(spark, sf1_dir).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
+            best, _runs = _time(name, sf1_dir, 2)
             sf1_timings[name] = round(best, 3)
-            if timings.get(name):
-                sf1_scale[name] = round(best / timings[name], 2)
+            base = timings.get(name) or extra_timings.get(name)
+            if base:
+                sf1_scale[name] = round(best / base, 2)
 
     out = {
         "metric": "headline_queries_total",
@@ -315,9 +329,11 @@ def main() -> None:
         "agg": "min",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    out["query_runs"] = run_detail
     if extra_timings:
         out["extra_queries"] = extra_timings
         out["extra_total"] = round(sum(extra_timings.values()), 3)
+        out["extra_runs"] = extra_run_detail
     if sf1_timings:
         # scale factor = sf1 time / sf0.1 time on 10× rows; ≤10 is
         # linear-or-better (fixed overheads amortize)
