@@ -6,7 +6,10 @@ and packing, none of which the registry covered yet:
   over token distributions, integer/decimal-exact — the snapshot
   regression gate for a recurring crawl);
 - adjacent-pair frequency counting (the inner statistic of BPE
-  tokenizer training, i.e. one merge-selection step at corpus scale);
+  tokenizer training, i.e. one merge-selection step at corpus scale)
+  and, since r5, the APPLY half: corpus tokenization through the
+  vocabulary-join path against a committed literal merge list
+  (`bpe_tokenize_counts`);
 - per-source quota sampling (domain caps — the classic crawl
   rebalancing step — via a portable md5 ranking both engines compute
   identically);

@@ -360,6 +360,18 @@ def test_token_drift_persisted_counts_identical(spark, sf_dir):
         counts.unpersist()
 
 
+def test_bpe_tokenize_counts_applies_vocab(spark, sf_dir):
+    """The oracle-surface apply query must produce MERGED tokens from
+    in-vocab words (proving the vocabulary join fired, not just the
+    char fallback): 'join' collapses to one token via (j,o)+(jo,in)
+    and 'order' yields subwords or/d/er via (e,r)+(o,r)."""
+    out = {r.token for r in q4.q_bpe_tokenize_counts(spark, sf_dir).collect()}
+    assert "join" in out
+    assert "er" in out
+    # char-fallback tokens from OOV words must also be present
+    assert any(len(t) == 1 for t in out)
+
+
 def test_token_drift_exact_decimals(spark):
     """exact_decimals=True (the documented >1.5e9-token overflow
     escape hatch) keeps drift_num/tv_num/tv_den DECIMAL and agrees
