@@ -152,13 +152,16 @@ def _build_sf1(spark, src_dir: str) -> str:
     from pyspark.sql import functions as F
 
     sig = []
-    for t in ("lineitem", "orders", "customer", "documents", "embeddings"):
+    for t in ("lineitem", "orders", "customer", "documents", "embeddings",
+              "events"):
         st = os.stat(f"{src_dir}/{t}.parquet")
         sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
-    # :v2 — generator version (customer-table ck_span); bump whenever
-    # the replica derivation changes, or a cached old-layout sf1 dir
+    # :v3 — generator version (v3 adds events replicas + the part dim
+    # copy, so ALL 10 registry tables resolve against the sf1 dir and
+    # scripts/check_oracle.py can run there); bump whenever the
+    # replica derivation changes, or a cached old-layout sf1 dir
     # would be served under the same source signature
-    tag = hashlib.md5(("|".join(sig) + ":v2").encode()).hexdigest()[:8]
+    tag = hashlib.md5(("|".join(sig) + ":v3").encode()).hexdigest()[:8]
     dst = f"{tempfile.gettempdir()}/spark_graft_sf1/{tag}"
     done = f"{dst}/_SPARK_GRAFT_READY"
     if os.path.exists(done):
@@ -193,9 +196,11 @@ def _build_sf1(spark, src_dir: str) -> str:
 
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     doc_span = docs.agg(F.max("doc_id") + 1).first()[0]
+    from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
+
     salted = F.array_join(
         F.transform(
-            F.split(F.col("text"), r"\s+"),
+            F.split(F.col("text"), WS_SPLIT),
             lambda x: F.concat(x, F.lit("_"), F.col("__r").cast("string")),
         ),
         " ",
@@ -219,7 +224,21 @@ def _build_sf1(spark, src_dir: str) -> str:
         "overwrite"
     ).parquet(f"{stage}/embeddings.parquet")
 
-    for t in ("supplier", "nation", "region"):
+    # events: key-offset replicas (event ids and users shifted per
+    # replica — session/window/interpolation semantics preserved,
+    # per-user event volume matches the source, user COUNT scales 10×;
+    # timestamps unchanged so windowed aggs see 10× density, the
+    # realistic shape of more traffic over the same period)
+    ev = spark.read.parquet(f"{src_dir}/events.parquet")
+    ev_span = ev.agg(F.max("event_id") + 1).first()[0]
+    uid_span = ev.agg(F.max("user_id") + 1).first()[0]
+    ev.crossJoin(rep).withColumn(
+        "event_id", F.col("event_id") + F.col("__r") * ev_span
+    ).withColumn(
+        "user_id", F.col("user_id") + F.col("__r") * uid_span
+    ).drop("__r").write.mode("overwrite").parquet(f"{stage}/events.parquet")
+
+    for t in ("supplier", "nation", "region", "part"):
         spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
             "overwrite"
         ).parquet(f"{stage}/{t}.parquet")
