@@ -123,6 +123,10 @@ SF1_QUERIES = [
     "ngram_novelty",
     "lang_confusion",
     "dup_clusters",
+    # the recall-trading scale route past the exact-pair crossover:
+    # its measured sf1 point sits next to semantic_dedup_keep's so the
+    # SCALING.md crossover analysis has both sides of the trade
+    "embedding_neardup_lsh",
 ]
 SF1_REPLICAS = 10
 
