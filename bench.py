@@ -123,10 +123,12 @@ SF1_QUERIES = [
     "ngram_novelty",
     "lang_confusion",
     "dup_clusters",
-    # the recall-trading scale route past the exact-pair crossover:
-    # its measured sf1 point sits next to semantic_dedup_keep's so the
-    # SCALING.md crossover analysis has both sides of the trade
-    "embedding_neardup_lsh",
+    # embedding_neardup_lsh is deliberately NOT here: measured once at
+    # sf1 (608 s, r5) it exposed that fixed-b sign-LSH at θ=0.4 is
+    # strictly worse than the exact blocked matmul — the routing
+    # conclusion and the number live in SCALING.md (dedup section);
+    # re-benching a known-misrouted configuration every round would
+    # cost ~20 min for no new information.
 ]
 SF1_REPLICAS = 10
 

@@ -449,15 +449,80 @@ def cosine_self_topk_blocked(
     )
 
 
+def _estimated_rows(df: DataFrame, vec_col: str, dim: int | None = None) -> int:
+    """Row-count estimate from Catalyst's sizeInBytes statistic — the
+    same no-full-scan sizing as the blocked-matmul grid above (and the
+    same stat-less-source fallback to one real count)."""
+    if dim is None:
+        probe = df.select(vec_col).head(1)
+        dim = len(probe[0][0]) if probe and probe[0][0] is not None else 0
+    size_bytes = int(
+        str(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    )
+    row_bytes = max(dim * 8 + 48, 64)
+    n_rows = max(1, size_bytes // row_bytes)
+    if n_rows > 10**12:
+        n_rows = max(1, df.count())
+    return n_rows
+
+
+def lsh_auto_params(
+    n_rows: int,
+    threshold: float,
+    target_bucket_rows: int = 256,
+    recall_target: float = 0.9,
+    max_tables: int = 64,
+) -> tuple[int, int]:
+    """(n_planes, n_tables) sized for the corpus and the threshold.
+
+    The fixed-b failure mode this exists to prevent (measured, r5 —
+    SCALING.md dedup section): at b=3/T=16 a RANDOM pair is a
+    candidate with probability 1−(1−2⁻³)¹⁶ ≈ 0.88, so past a few
+    thousand vectors the "prefilter" admits ~all of n² and the LSH
+    path measures slower than the exact blocked matmul (608 s vs
+    ~19 s at n=20k). Sizing rule:
+
+    - b = max(3, ⌈log₂(n / target_bucket_rows)⌉): expected bucket
+      occupancy stays ~target_bucket_rows at every corpus size, so
+      per-table candidate volume is ~n·target/2, linear in n.
+    - T = ⌈ln(1/(1−recall)) / p₁ᵇ⌉ with p₁ = 1−arccos(θ)/π keeps
+      1−(1−p₁ᵇ)ᵀ ≥ recall_target.
+
+    T explodes when θ is low — sign-LSH's exponent ρ = ln p₁/ln ½
+    approaches 1 as θ→0 and no (b, T) beats blocked-exact. Hitting
+    ``max_tables`` logs that routing warning (→
+    :func:`cosine_pairs_above`) and caps T, trading recall for
+    boundedness. At θ ≥ 0.85 (the real near-dup regime) p₁ ≥ 0.86
+    and T stays single-digit through b ≈ 12 (n ≈ 10⁶·target)."""
+    import logging
+
+    b = 3
+    if n_rows > target_bucket_rows:
+        b = max(3, min(24, math.ceil(math.log2(n_rows / target_bucket_rows))))
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    need = math.log(1.0 / (1.0 - recall_target))
+    t = max(1, math.ceil(need / max(p1**b, 1e-300)))
+    if t > max_tables:
+        logging.getLogger("spark_graft").warning(
+            "lsh_auto_params: recall %.2f at threshold %.2f needs %d "
+            "tables at b=%d (capped to %d) — below the LSH-efficient "
+            "wall; route to cosine_pairs_above (blocked exact) instead.",
+            recall_target, threshold, t, b, max_tables,
+        )
+        t = max_tables
+    return b, t
+
+
 def lsh_neardup_pairs(
     df: DataFrame,
     threshold: float,
-    n_planes: int = 3,
+    n_planes: int | str = 3,
     n_tables: int = 16,
     dim: int = 64,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id1 < id2, cosine ≥ threshold) with an LSH
     prefilter — the recall-trading scale sibling of
@@ -472,7 +537,17 @@ def lsh_neardup_pairs(
     materialized. Recall = P(any-table collision) of a qualifying pair
     — 1-(1-p^b)^T with p = 1-θ/π; at the default b=3/T=16 measured
     ≥0.98 on the test corpus (see tests/test_queries_ext.py).
+
+    The FIXED default (b=3, T=16) is only sane at small corpora and is
+    kept for the oracle-checked registry contract; at scale pass
+    ``n_planes="auto"`` to size (b, T) from the corpus cardinality and
+    the threshold via :func:`lsh_auto_params` — and read its docstring
+    for when LSH is the wrong route entirely (low θ → blocked exact).
     """
+    if n_planes == "auto":
+        if n_rows is None:
+            n_rows = _estimated_rows(df, vec_col, dim)
+        n_planes, n_tables = lsh_auto_params(n_rows, threshold)
     tables = [
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]

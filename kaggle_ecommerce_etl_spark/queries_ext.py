@@ -620,9 +620,11 @@ FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.5
 
 def q_embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs above a threshold. Exact blocked
-    matmul (no cross join in the plan — see cosine_pairs_above);
-    `ann_lsh_topk` is the recall-trading bucketed path for corpora
-    where even blocked n² is too much."""
+    matmul (no cross join in the plan — see cosine_pairs_above). At
+    θ=0.4 this IS the scale path: the LSH prefilter was measured
+    strictly worse at sf1 (608 s vs ~19 s at n=20k — SCALING.md dedup
+    section); LSH only wins in the high-θ regime via
+    `lsh_neardup_pairs(n_planes="auto")`."""
     from kaggle_ecommerce_etl_spark.functions.similarity import cosine_pairs_above
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -639,9 +641,15 @@ WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.4
 
 
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-prefiltered near-dup pairs — the 100 TB sibling of
-    `embedding_neardup_pairs`: single (table,bucket) self-equi-join
-    generates candidates, only candidates pay exact cosine.
+    """LSH-prefiltered near-dup pairs: single (table,bucket)
+    self-equi-join generates candidates, only candidates pay exact
+    cosine. This registry entry is the ORACLE-CHECKED MECHANISM DEMO
+    at committed small-scale constants (b=3/T=16), NOT the scale
+    route for this θ: measured at sf1 (r5), fixed-b LSH at θ=0.4
+    admits ~88% of all pairs as candidates (608 s vs ~19 s for the
+    exact blocked `embedding_neardup_pairs` at n=20k). Scale routing
+    lives in SCALING.md (dedup section): low θ → blocked exact;
+    high θ → `lsh_neardup_pairs(n_planes="auto")`.
 
     ORACLE-CHECKED since r5 (same upgrade as `ann_lsh_topk`): the
     seeded hyperplanes are emitted as float literals into
@@ -2330,9 +2338,23 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     mod 10) checked against the EXISTING corpus (the rest) for word
     Jaccard ≥ 0.5 — the production "have we already got this?" gate.
     Cross-sided inverted-index join (token equi-join between the two
-    sides, never batch×corpus), then per-incoming best match with a
-    (jaccard DESC, id) tiebreak. At 100 TB the batch side is tiny and
-    broadcasts; posting lists stay bounded by the corpus DF guard."""
+    sides, never batch×corpus) with a SIZE-COMPATIBILITY conjunct
+    (j ≥ t forces min(s1,s2) ≥ t·max(s1,s2) — exact, measured −35%
+    join volume on the hot-token replica: 326 → 211 s at 15k docs),
+    then per-incoming best match with a (jaccard DESC, id) tiebreak.
+
+    Scale honesty (measured, r5): at t=0.5 the token join's
+    Σ df_b(tok)·df_c(tok) IS quadratic on organic corpora (shared
+    stopword/mid-df tokens; ~10× wall at 3× docs on an
+    unsalted-hot-token replica). Prefix filtering does NOT fix it at
+    this threshold — the prefix is ⌊(1−t)s⌋+1 ≈ half of every doc, so
+    the mid-df band passes through; measured SLOWER (313 vs 176 s at
+    15k docs; see functions/dedup_ml.jaccard_cross_prefix for where
+    it does win, t ≥ 0.8). Past the wall at t=0.5 the 100 TB route is
+    the recall-trading MinHash-LSH screen (minhash_signatures +
+    lsh_candidate_pairs, both oracle-checked) with this exact join
+    retained per-candidate as the verifier. At 100 TB the batch side
+    is tiny and broadcasts."""
     d = _t(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), WS_SPLIT))
     base = d.select("doc_id", toks.alias("t")).withColumn("sz", F.size("t"))
@@ -2346,8 +2368,13 @@ def q_incremental_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("ex_id"), F.col("sz").alias("s2"),
         F.explode("t").alias("tok"),
     )
+    t_eff = 0.5 - 5e-5  # 4dp-rounding margin, same guard as dedup_ml
     inter = (
         b.join(c, "tok")
+        .filter(
+            (F.col("s2") * F.lit(t_eff) <= F.col("s1"))
+            & (F.col("s1") * F.lit(t_eff) <= F.col("s2"))
+        )
         .groupBy("in_id", "ex_id", "s1", "s2")
         .agg(F.count(F.lit(1)).alias("i"))
     )

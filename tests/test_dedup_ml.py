@@ -166,3 +166,95 @@ def test_dup_clusters_long_path_converges_logarithmically(spark):
 
     with pytest.raises(ValueError, match="did not converge"):
         dup_clusters(pairs, max_iter=2)
+
+
+def test_jaccard_cross_prefix_matches_naive(spark):
+    """Cross-sided prefix filtering is EXACT: identical pair set and
+    jaccard values as the naive all-token inverted-index join, on a
+    corpus where every doc shares a stopword (the prefix-pruned
+    case) plus genuine near-dups straddling the 0.5 threshold."""
+    import itertools
+
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        jaccard_cross_prefix,
+    )
+
+    rows = []
+    for i in range(30):
+        # every doc carries the universal token "the"; batch doc i
+        # overlaps corpus doc i+100 heavily and others barely
+        toks = ["the"] + [f"b{i}_{j}" for j in range(6)]
+        rows.append((i, " ".join(toks)))
+    for i in range(30):
+        shared = [f"b{i}_{j}" for j in range(6)]  # near-dup of batch i
+        rows.append((i + 100, " ".join(["the"] + shared + [f"c{i}"])))
+        rows.append((i + 200, " ".join(["the"] + [f"z{i}_{j}" for j in range(5)])))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    batch = df.filter(F.col("doc_id") < 100)
+    corpus = df.filter(F.col("doc_id") >= 100)
+
+    got = {
+        (r.in_id, r.ex_id): r.jaccard
+        for r in jaccard_cross_prefix(batch, corpus, threshold=0.5).collect()
+    }
+
+    # naive reference computed in python on the same tokenization
+    sets = {i: set(t.split()) for i, t in rows}
+    want = {}
+    for b, c in itertools.product(range(30), range(100, 260)):
+        if c not in sets:
+            continue
+        inter = len(sets[b] & sets[c])
+        if inter == 0:
+            continue
+        j = round(inter / (len(sets[b]) + len(sets[c]) - inter), 4)
+        if j >= 0.5:
+            want[(b, c)] = j
+    assert got == want
+    assert want  # the fixture really produces matches
+
+
+def test_cross_prefix_stopword_never_indexed(spark):
+    """The quadratic-protection property itself: a token present in
+    EVERY doc (on both sides) never enters the candidate join when
+    each doc has >= 3 distinct tokens, so fully-disjoint docs produce
+    ZERO candidates — the naive join would produce |batch|x|corpus|."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        _cross_prefix_candidates,
+    )
+
+    b = spark.createDataFrame(
+        [(i, f"the a{i} b{i} c{i}") for i in range(40)], ["doc_id", "text"]
+    )
+    c = spark.createDataFrame(
+        [(1000 + i, f"the x{i} y{i} z{i}") for i in range(40)],
+        ["doc_id", "text"],
+    )
+    toks = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    b_ex = (
+        b.select(F.col("doc_id").alias("__id"), toks.alias("__toks"))
+        .withColumn("__size", F.size("__toks"))
+        .select("__id", "__size", F.explode("__toks").alias("__tok"))
+    )
+    c_ex = (
+        c.select(F.col("doc_id").alias("__id"), toks.alias("__toks"))
+        .withColumn("__size", F.size("__toks"))
+        .select("__id", "__size", F.explode("__toks").alias("__tok"))
+    )
+    assert _cross_prefix_candidates(b_ex, c_ex, 0.5).count() == 0
+
+
+def test_cross_prefix_round_boundary_pair_included(spark):
+    """A pair whose TRUE jaccard is 5000/10001 = 0.49995... (< 0.5 but
+    ROUNDS to 0.5000) must appear: the filter is on round(j, 4) and
+    the prefix margin keeps the theorem valid for boundary pairs."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        jaccard_cross_prefix,
+    )
+
+    a_toks = " ".join(f"t{k}" for k in range(7500))            # s1 = 7500
+    b_toks = " ".join(f"t{k}" for k in range(2500, 10001))     # s2 = 7501
+    batch = spark.createDataFrame([(1, a_toks)], ["doc_id", "text"])
+    corpus = spark.createDataFrame([(2, b_toks)], ["doc_id", "text"])
+    out = jaccard_cross_prefix(batch, corpus, threshold=0.5).collect()
+    assert [(r.in_id, r.ex_id, r.jaccard) for r in out] == [(1, 2, 0.5)]

@@ -86,3 +86,44 @@ def test_self_blocked_no_full_count_at_construction(monkeypatch, spark, sf_dir):
     out2 = cosine_self_topk_blocked(emb, k=2, n_rows=200, dim=16)
     monkeypatch.undo()
     assert _rows(out2) == expected
+
+
+def test_lsh_auto_params_sizing_math():
+    """b tracks log2(n/target) so bucket occupancy stays bounded; T
+    compensates recall at high θ with small table counts; low θ hits
+    the documented routing wall (T capped + warning)."""
+    import math
+
+    from kaggle_ecommerce_etl_spark.functions.similarity import lsh_auto_params
+
+    # small corpora keep the committed small-scale default b=3
+    assert lsh_auto_params(500, 0.9)[0] == 3
+    # b grows with n: bucket occupancy n/2^b stays within 2x of target
+    for n in (10_000, 100_000, 10_000_000):
+        b, t = lsh_auto_params(n, 0.9)
+        assert n / 2**b <= 256 < 2 * (n / 2**b) or n <= 256
+        # high-θ regime: table count stays practical
+        assert t <= 64
+    # recall identity holds at the chosen (b, T) for θ=0.9
+    b, t = lsh_auto_params(100_000, 0.9)
+    p1 = 1 - math.acos(0.9) / math.pi
+    assert 1 - (1 - p1**b) ** t >= 0.9
+    # the low-θ wall: T saturates the cap (routing warning case)
+    b_low, t_low = lsh_auto_params(10_000_000, 0.4)
+    assert t_low == 64
+
+
+def test_lsh_neardup_auto_equals_explicit_params(spark, sf_dir):
+    """n_planes="auto" must be a pure re-parameterization: same output
+    as calling with the (b, T) the sizing rule derives."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        lsh_auto_params,
+        lsh_neardup_pairs,
+    )
+
+    emb = _emb(spark, sf_dir)
+    n = emb.count()
+    b, t = lsh_auto_params(n, 0.4)
+    auto = lsh_neardup_pairs(emb, 0.4, n_planes="auto", n_rows=n)
+    explicit = lsh_neardup_pairs(emb, 0.4, n_planes=b, n_tables=t)
+    assert _rows(auto) == _rows(explicit)
