@@ -143,3 +143,22 @@ def test_persist_reuse_one_inmemory_relation(spark, sf_dir):
     assert ("mean_tokens", "all") in rows
     n_langs = sum(1 for m, _k in rows if m == "lang_tokens")
     assert n_langs >= 3
+
+
+def test_incremental_neardup_size_filter_boundary(spark, tmp_path):
+    """The size-compatibility conjunct must keep the WORST legitimate
+    pair: s1=5000 tokens fully contained in s2=10001 gives true
+    jaccard 5000/10001 = 0.4999500... which ROUNDS to 0.5 and belongs
+    in the output; the filter's 4dp margin (t_eff = 0.5 - 5e-5) admits
+    it at s2*t_eff = 4999.99995 <= 5000 by a hair. A filter written
+    with t=0.5 exactly would wrongly drop it."""
+    small = " ".join(f"t{k}" for k in range(5000))           # s1 = 5000
+    big = " ".join(f"t{k}" for k in range(10001))            # s2 = 10001
+    d = tmp_path / "documents.parquet"
+    spark.createDataFrame(
+        [(10, small), (11, big)], ["doc_id", "text"]
+    ).coalesce(1).write.parquet(str(d))
+    out = {r.in_id: r for r in qx.q_incremental_neardup(spark, str(tmp_path)).collect()}
+    assert out[10].is_duplicate
+    assert out[10].best_match == 11
+    assert out[10].best_jaccard == 0.5
