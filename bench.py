@@ -166,8 +166,13 @@ def _build_sf1(spark, src_dir: str) -> str:
     # copy, so ALL 10 registry tables resolve against the sf1 dir and
     # scripts/check_oracle.py can run there); bump whenever the
     # replica derivation changes, or a cached old-layout sf1 dir
-    # would be served under the same source signature
-    tag = hashlib.md5(("|".join(sig) + ":v3").encode()).hexdigest()[:8]
+    # would be served under the same source signature. The replica
+    # COUNT is part of the key: scripts/scale_curve.py derives other
+    # multiples (e.g. 30×) through this same builder, and a count-less
+    # tag would serve the 10× dir for every multiple.
+    tag = hashlib.md5(
+        ("|".join(sig) + f":v3:r{SF1_REPLICAS}").encode()
+    ).hexdigest()[:8]
     dst = f"{tempfile.gettempdir()}/spark_graft_sf1/{tag}"
     done = f"{dst}/_SPARK_GRAFT_READY"
     if os.path.exists(done):

@@ -1,0 +1,86 @@
+"""Multi-point engine scaling curve over derived replicas of sf0.1.
+
+BENCH's sf1 section gives ONE scale-up ratio per query (sf0.1 → 10×).
+A single ratio cannot distinguish "linear with fixed overhead" from
+"superlinear but small at 10×" — this script adds further points
+(default 10× and 30×) in ONE warm process, using the same replica
+builder (bench._build_sf1, decorrelated: salted doc tokens, key-offset
+facts, rotated embeddings) and the same timing discipline (noop sink,
+min-of-2 per point, first run absorbs codegen for that data scale).
+
+Usage:
+    python scripts/scale_curve.py [replica_list] [query ...]
+    python scripts/scale_curve.py 10,30 minhash_signatures dup_clusters
+
+Prints one JSON line: {"points": {"10": {q: sec}, "30": {q: sec}},
+"ratio_30_over_10": {q: r}} — for linear operators r ≈ 3 (×3 data);
+for the exact-pair quadratic contract (semantic_dedup_keep) r ≈ 9
+is the EXPECTED reading, anchoring SCALING.md's crossover analysis
+with a second measured point.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import bench
+from kaggle_ecommerce_etl_spark.queries import REGISTRY
+from kaggle_ecommerce_etl_spark.session import get_spark
+
+DEFAULT_QUERIES = [
+    "conflict_split_flagged",
+    "revenue_by_nation",
+    "word_jaccard_pairs",
+    "minhash_signatures",
+    "dup_clusters",
+    "ngram_novelty",
+    "lang_confusion",
+    "corpus_pipeline",
+    "semantic_dedup_keep",  # quadratic by contract — the anchor point
+]
+
+
+def main() -> None:
+    replicas = [
+        int(r) for r in (sys.argv[1] if len(sys.argv) > 1 else "10,30").split(",")
+    ]
+    names = sys.argv[2:] or DEFAULT_QUERIES
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("scale-curve")
+    spark.range(10).count()  # JVM warm
+
+    points: dict[str, dict[str, float]] = {}
+    for r in replicas:
+        bench.SF1_REPLICAS = r  # tag includes r — each multiple caches apart
+        run_dir = bench._build_sf1(spark, src)
+        timings: dict[str, float] = {}
+        for name in names:
+            fn, _oracle = REGISTRY[name]
+            runs = []
+            for _ in range(2):
+                t0 = time.time()
+                fn(spark, run_dir).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 3)
+            print(f"# {r}x {name}: {timings[name]}s (runs {[round(x,2) for x in runs]})",
+                  file=sys.stderr)
+        points[str(r)] = timings
+
+    out: dict = {"points": points, "unit": "sec", "agg": "min-of-2"}
+    if len(replicas) >= 2:
+        lo, hi = str(replicas[0]), str(replicas[-1])
+        out[f"ratio_{hi}_over_{lo}"] = {
+            q: round(points[hi][q] / points[lo][q], 2)
+            for q in names
+            if points[lo].get(q)
+        }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
