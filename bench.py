@@ -162,16 +162,17 @@ def _build_sf1(spark, src_dir: str) -> str:
               "events"):
         st = os.stat(f"{src_dir}/{t}.parquet")
         sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
-    # :v3 — generator version (v3 adds events replicas + the part dim
-    # copy, so ALL 10 registry tables resolve against the sf1 dir and
-    # scripts/check_oracle.py can run there); bump whenever the
-    # replica derivation changes, or a cached old-layout sf1 dir
+    # :v4 — generator version (v3 added events replicas + the part dim
+    # copy so all 10 registry tables resolve against the sf1 dir; v4
+    # repartitions docs/embeddings/events by replica count — see the
+    # scan-serialization note at the documents write); bump whenever
+    # the replica derivation changes, or a cached old-layout sf1 dir
     # would be served under the same source signature. The replica
     # COUNT is part of the key: scripts/scale_curve.py derives other
     # multiples (e.g. 30×) through this same builder, and a count-less
     # tag would serve the 10× dir for every multiple.
     tag = hashlib.md5(
-        ("|".join(sig) + f":v3:r{SF1_REPLICAS}").encode()
+        ("|".join(sig) + f":v4:r{SF1_REPLICAS}").encode()
     ).hexdigest()[:8]
     dst = f"{tempfile.gettempdir()}/spark_graft_sf1/{tag}"
     done = f"{dst}/_SPARK_GRAFT_READY"
@@ -216,11 +217,19 @@ def _build_sf1(spark, src_dir: str) -> str:
         ),
         " ",
     )
+    # repartition by replica count: the crossJoin plan inherits the
+    # tiny source's 1-2 input partitions, and a single-file (single
+    # row-group) derived table serializes EVERY downstream doc scan
+    # into one task — measured 33.5 s → 2.4 s on lang_confusion at the
+    # 30× point once the scan parallelizes. Real corpora at 10×/30×
+    # arrive as many files (one per upstream writer task), so
+    # replica-count-many files is the realistic shape: scan
+    # parallelism grows with data, exactly the cluster story.
     docs.crossJoin(rep).withColumn(
         "doc_id", F.col("doc_id") + F.col("__r") * doc_span
-    ).withColumn("text", salted).drop("__r").write.mode("overwrite").parquet(
-        f"{stage}/documents.parquet"
-    )
+    ).withColumn("text", salted).drop("__r").repartition(
+        SF1_REPLICAS
+    ).write.mode("overwrite").parquet(f"{stage}/documents.parquet")
 
     emb = spark.read.parquet(f"{src_dir}/embeddings.parquet")
     vec_span = emb.agg(F.max("vec_id") + 1).first()[0]
@@ -231,9 +240,9 @@ def _build_sf1(spark, src_dir: str) -> str:
     )
     emb.crossJoin(rep).withColumn(
         "vec_id", F.col("vec_id") + F.col("__r") * vec_span
-    ).withColumn("embedding", rot).drop("__r").write.mode(
-        "overwrite"
-    ).parquet(f"{stage}/embeddings.parquet")
+    ).withColumn("embedding", rot).drop("__r").repartition(
+        SF1_REPLICAS  # same single-file scan-serialization fix as docs
+    ).write.mode("overwrite").parquet(f"{stage}/embeddings.parquet")
 
     # events: key-offset replicas (event ids and users shifted per
     # replica — session/window/interpolation semantics preserved,
@@ -247,7 +256,9 @@ def _build_sf1(spark, src_dir: str) -> str:
         "event_id", F.col("event_id") + F.col("__r") * ev_span
     ).withColumn(
         "user_id", F.col("user_id") + F.col("__r") * uid_span
-    ).drop("__r").write.mode("overwrite").parquet(f"{stage}/events.parquet")
+    ).drop("__r").repartition(
+        SF1_REPLICAS  # same single-file scan-serialization fix as docs
+    ).write.mode("overwrite").parquet(f"{stage}/events.parquet")
 
     for t in ("supplier", "nation", "region", "part"):
         spark.read.parquet(f"{src_dir}/{t}.parquet").write.mode(
