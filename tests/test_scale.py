@@ -312,3 +312,27 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
         != "true"
         or _plan(_q()).count("might_contain") == 0
     )
+
+
+def test_replica_builder_writes_multifile_scans(spark, sf_dir, monkeypatch):
+    """The derived scale-up dirs must NOT serialize scans: bench's
+    _build_sf1 :v4 writes documents/embeddings/events as
+    replica-count-many parquet files (a single file = a single row
+    group = ONE scan task at any multiple; measured 33.5 s -> 2.4 s on
+    lang_confusion at the 30x point, SCALING.md 'Two-point scaling
+    curve'). Pinned at 2 replicas over sf0.001 so the suite stays
+    fast; row counts double and no table lands as one part file."""
+    import glob
+    import os
+
+    import bench
+
+    monkeypatch.setattr(bench, "SF1_REPLICAS", 2)
+    out = bench._build_sf1(spark, sf_dir)
+    for t in ("documents", "embeddings", "events"):
+        parts = glob.glob(f"{out}/{t}.parquet/part-*.parquet")
+        assert len(parts) >= 2, f"{t}: single-file scan layout regressed"
+        n_src = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
+        n_out = spark.read.parquet(f"{out}/{t}.parquet").count()
+        assert n_out == 2 * n_src
+    assert os.path.exists(f"{out}/_SPARK_GRAFT_READY")
