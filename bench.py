@@ -162,17 +162,18 @@ def _build_sf1(spark, src_dir: str) -> str:
               "events"):
         st = os.stat(f"{src_dir}/{t}.parquet")
         sig.append(f"{t}:{st.st_mtime_ns}:{st.st_size}")
-    # :v4 — generator version (v3 added events replicas + the part dim
+    # :v5 — generator version (v3 added events replicas + the part dim
     # copy so all 10 registry tables resolve against the sf1 dir; v4
-    # repartitions docs/embeddings/events by replica count — see the
-    # scan-serialization note at the documents write); bump whenever
+    # repartitioned docs/embeddings/events by replica count, v5 all
+    # replicated tables — see the scan-serialization notes at the
+    # writes); bump whenever
     # the replica derivation changes, or a cached old-layout sf1 dir
     # would be served under the same source signature. The replica
     # COUNT is part of the key: scripts/scale_curve.py derives other
     # multiples (e.g. 30×) through this same builder, and a count-less
     # tag would serve the 10× dir for every multiple.
     tag = hashlib.md5(
-        ("|".join(sig) + f":v4:r{SF1_REPLICAS}").encode()
+        ("|".join(sig) + f":v5:r{SF1_REPLICAS}").encode()
     ).hexdigest()[:8]
     dst = f"{tempfile.gettempdir()}/spark_graft_sf1/{tag}"
     done = f"{dst}/_SPARK_GRAFT_READY"
@@ -191,20 +192,30 @@ def _build_sf1(spark, src_dir: str) -> str:
     # and duplicate c_custkey rows, inflating sf1 join fan-out
     ck_span = customer.agg(F.max("c_custkey") + 1).first()[0]
 
+    # every replicated table gets one file per replica (the source
+    # single-file tables would otherwise hand the crossJoin plan 1-2
+    # partitions and the derived tables serialize their scans — see
+    # the documents note below for the measured cost)
     li = spark.read.parquet(f"{src_dir}/lineitem.parquet").crossJoin(rep)
     li.withColumn(
         "l_orderkey", F.col("l_orderkey") + F.col("__r") * ok_span
-    ).drop("__r").write.mode("overwrite").parquet(f"{stage}/lineitem.parquet")
+    ).drop("__r").repartition(SF1_REPLICAS).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/lineitem.parquet")
 
     orders.crossJoin(rep).withColumn(
         "o_orderkey", F.col("o_orderkey") + F.col("__r") * ok_span
     ).withColumn(
         "o_custkey", F.col("o_custkey") + F.col("__r") * ck_span
-    ).drop("__r").write.mode("overwrite").parquet(f"{stage}/orders.parquet")
+    ).drop("__r").repartition(SF1_REPLICAS).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/orders.parquet")
 
     customer.crossJoin(rep).withColumn(
         "c_custkey", F.col("c_custkey") + F.col("__r") * ck_span
-    ).drop("__r").write.mode("overwrite").parquet(f"{stage}/customer.parquet")
+    ).drop("__r").repartition(SF1_REPLICAS).write.mode(
+        "overwrite"
+    ).parquet(f"{stage}/customer.parquet")
 
     docs = spark.read.parquet(f"{src_dir}/documents.parquet")
     doc_span = docs.agg(F.max("doc_id") + 1).first()[0]

@@ -329,7 +329,8 @@ def test_replica_builder_writes_multifile_scans(spark, sf_dir, monkeypatch):
 
     monkeypatch.setattr(bench, "SF1_REPLICAS", 2)
     out = bench._build_sf1(spark, sf_dir)
-    for t in ("documents", "embeddings", "events"):
+    for t in ("documents", "embeddings", "events",
+              "lineitem", "orders", "customer"):
         parts = glob.glob(f"{out}/{t}.parquet/part-*.parquet")
         assert len(parts) >= 2, f"{t}: single-file scan layout regressed"
         n_src = spark.read.parquet(f"{sf_dir}/{t}.parquet").count()
