@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -341,11 +342,31 @@ def main() -> None:
             runs.append(round(time.time() - t0, 3))
         return min(runs), runs
 
+    def _canary() -> float:
+        """Noise canary (VERDICT r5 what's-wrong #2): a constant,
+        trivial plan — count(*) over nation through the same noop
+        sink — timed at the START and END of every bench run. Its
+        plan never changes round-over-round, so a shift in the canary
+        is HOST noise (hypervisor steal, thermal, page cache), not
+        plan drift; the r5 +26% headline inflation question becomes
+        answerable in one line. min-of-3, same discipline as queries."""
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy().count(
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    canary_pre = _canary()
+
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
     run_detail: dict[str, list[float]] = {}
     for name in HEADLINE:
         best, runs = _time(name, sf_dir, N_RUNS)
         timings[name] = round(best, 3)
+        medians[name] = round(statistics.median(runs), 3)
         run_detail[name] = runs
 
     total = round(sum(timings.values()), 3)
@@ -379,6 +400,8 @@ def main() -> None:
     # detail goes to BENCH_DETAIL_LOCAL.json (committed, judge-
     # readable) and to an EARLY stdout line; the FINAL line is the
     # compact contract shape and stays well under the buffer.
+    canary_post = _canary()
+
     out = {
         "metric": "headline_queries_total",
         "value": total,
@@ -386,10 +409,16 @@ def main() -> None:
         "queries": timings,
         "n_runs": N_RUNS,
         "agg": "min",
+        # constant-plan host-noise reference: compare round-over-round —
+        # if the canary moved with the headline, it's the machine
+        "canary_pre": canary_pre,
+        "canary_post": canary_post,
+        "median_total": round(sum(medians.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     detail = dict(out)
     detail["query_runs"] = run_detail
+    detail["queries_median"] = medians
     if extra_timings:
         out["extra_total"] = round(sum(extra_timings.values()), 3)
         out["extra_n"] = len(extra_timings)
@@ -398,8 +427,11 @@ def main() -> None:
         detail["extra_runs"] = extra_run_detail
     if sf1_timings:
         # scale factor = sf1 time / sf0.1 time on 10× rows; ≤10 is
-        # linear-or-better (fixed overheads amortize)
+        # linear-or-better (fixed overheads amortize). sf1_queries
+        # stays in the COMPACT line too (ADVICE r5: SCALING.md points
+        # readers at "BENCH sf1_queries"; ~10 entries fits the budget)
         out["sf1_scaleup_vs_sf01"] = sf1_scale
+        out["sf1_queries"] = sf1_timings
         detail["sf1_queries"] = sf1_timings
         detail["sf1_scaleup_vs_sf01"] = sf1_scale
     out["detail"] = "BENCH_DETAIL_LOCAL.json"

@@ -1568,65 +1568,68 @@ WINDOW_ANCHORS = (
 #: oldest-added first and keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
-    # r5 rotation (scripts/rotate_window.py output, VERDICT r4 next-
-    # round #1 executed): anchors trimmed 16 → 8 (one per coarse §2
-    # family, see WINDOW_ANCHORS) + 42 never-driver-green entries,
-    # oldest-added first. Registry growth is FROZEN this round (only
-    # the judge-requested bpe_tokenize_counts addition + the
-    # ann_lsh_topk oracle upgrade), so the never-green tail burns
-    # down 125 → ≤83 if this window goes 50/50. Every rotated-out
-    # query keeps local verification via scripts/check_oracle.py
-    # (ORACLE_LOCAL_r05.txt).
+    # r6 rotation (scripts/rotate_window.py output regenerated AFTER
+    # CORRECTNESS_r05 landed — the committed ROTATION_r06_PROPOSAL had
+    # a stale "86 never-green" header and omitted embedding_quantize,
+    # whose r5 row was RED on a comparator-shape bug, not a wrong
+    # answer; fixed this round by emitting codes as a comma-joined
+    # string on both sides, so it takes a fresh slot here to clear the
+    # red row). 8 family anchors + 42 never-driver-green entries,
+    # oldest-added first. Registry count: 214 frozen + the
+    # judge-requested jaccard_cross_gate oracle entry. Never-green
+    # tail: 87 at r6 open -> <=45 if this window goes 50/50. Every
+    # rotated-out query keeps local verification via
+    # scripts/check_oracle.py (ORACLE_LOCAL_r06.txt).
     "pricing_summary",        # anchor
-    "conflict_split_clean",   # anchor
-    "pipeline_amazon_clean",  # anchor
-    "csv_roundtrip",          # anchor
+    "conflict_split_clean",        # anchor
+    "pipeline_amazon_clean",        # anchor
+    "csv_roundtrip",        # anchor
     "events_tumbling",        # anchor
-    "dedup_exact_docs",       # anchor
-    "cosine_topk",            # anchor
-    "pack_sequences",         # anchor
-    "pipeline_jdbc_load",
-    "explode_tokens",
-    "conditional_agg",
-    "word_jaccard_capped",
-    "exists_late_orders",
-    "nation_volume_pairs",
-    "promo_revenue",
-    "disjunctive_revenue",
-    "customers_no_orders",
-    "rollup_sales",
-    "grouping_sets",
-    "full_outer_nation",
-    "semi_join_customers",
-    "quantile_stats",
-    "corr_stats",
-    "array_funcs",
-    "regexp_stats",
-    "date_buckets",
-    "shingle_jaccard_pairs",
-    "embedding_neardup_pairs",
-    "latest_per_key",
-    "tfidf_top_terms",
-    "bigram_doc_freq",
-    "hash_sample",
-    "bucketed_join_agg",
-    "partition_pruned_read",
-    "dup_clusters",
-    "scd2_versions",
-    "token_stats_by_lang",
-    "event_attribution",
-    "winnow_fingerprints",
-    "multimodal_frame_sample",
-    "stratified_sample",
-    "jaccard_pairs_prefix",
-    "rank_functions",
-    "pii_scrub",
-    "repetition_ratio",
-    "decontaminate",
+    "dedup_exact_docs",        # anchor
+    "cosine_topk",        # anchor
+    "pack_sequences",        # anchor
     "embedding_quantize",
-    "fuzzy_name_pairs",
-    "funnel_conversion",
-    "returned_revenue",
+    "embedding_neardup_lsh",
+    "ann_lsh_topk",
+    "asof_join_broadcast",
+    "streaming_upsert_run",
+    "compact_files",
+    "incremental_agg_merge",
+    "zorder_code",
+    "data_quality_report",
+    "price_histogram",
+    "asof_join_forward",
+    "doc_chunks",
+    "incremental_neardup",
+    "streaming_window_run",
+    "persist_reuse",
+    "null_safe_join",
+    "unpivot_metrics",
+    "priority_line_counts",
+    "cust_order_distribution",
+    "small_qty_revenue",
+    "late_supplier_blame",
+    "pack_materialize",
+    "doc_truncate",
+    "corpus_shuffle",
+    "token_rarity",
+    "mix_rebalance",
+    "span_dedup",
+    "observed_metrics",
+    "rolling_features",
+    "interpolate_ts",
+    "variant_shred",
+    "set_ops_multiset",
+    "range_frame_window",
+    "multimodal_dedup",
+    "table_checksum",
+    "jdbc_partitioned_read",
+    "snapshot_diff",
+    "conflict_split_flagged_aggjoin",
+    "sessionize_dynamic_gap",
+    "join_hints",
+    "merge_upsert",
+    "cdc_apply",
 )
 
 

@@ -1622,7 +1622,16 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column (the 4×
     storage/serving compression step of a vector pipeline): per-vector
     scale = max|x|/127, codes = round(x/scale). Pure array
-    expressions — codegen, no shuffle, no UDF."""
+    expressions — codegen, no shuffle, no UDF.
+
+    Oracle-surface contract: the code vector is emitted as a
+    comma-joined STRING, not a raw array<int> — the driver's
+    comparator canonicalizes rows through pandas, where list-typed
+    cells are unhashable and crash the sort (the r5 red row). The
+    registry-wide guard lives in
+    tests/test_entry.py::test_oracle_surface_has_no_complex_types.
+    Callers who want the raw array use
+    functions.similarity / embedding_quantize_codes below."""
     emb = _t(spark, sf_dir, "embeddings")
     # materialize the scale through its own projection: referencing it
     # inside the transform lambda would re-run array_max per ELEMENT
@@ -1646,7 +1655,33 @@ def q_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staged.select(
         "vec_id",
         F.round("__scale", 6).alias("scale"),
-        codes.alias("codes"),
+        F.array_join(codes.cast("array<string>"), ",").alias("codes"),
+    )
+
+
+def embedding_quantize_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw-array variant of q_embedding_quantize for programmatic
+    callers (codes as array<int>, ready for a downstream dot-product
+    or storage sink). NOT on the oracle surface — see the complex-type
+    contract note in q_embedding_quantize."""
+    emb = _t(spark, sf_dir, "embeddings")
+    absmax = F.array_max(
+        F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    )
+    staged = emb.select(
+        "vec_id", "embedding", (absmax / F.lit(127.0)).alias("__scale")
+    )
+    codes = F.when(
+        F.col("__scale") == 0,
+        F.transform(F.col("embedding"), lambda x: F.lit(0)),
+    ).otherwise(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.round(x.cast("double") / F.col("__scale")).cast("int"),
+        )
+    )
+    return staged.select(
+        "vec_id", F.round("__scale", 6).alias("scale"), codes.alias("codes")
     )
 
 
@@ -1658,11 +1693,12 @@ WITH s AS (
   FROM embeddings
 )
 SELECT vec_id, round(sc, 6) AS scale,
-       CASE WHEN sc = 0
-            THEN list_transform(embedding, x -> 0)
-            ELSE list_transform(embedding,
-                                x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT))
-       END AS codes
+       array_to_string(
+         CASE WHEN sc = 0
+              THEN list_transform(embedding, x -> 0)
+              ELSE list_transform(embedding,
+                                  x -> CAST(round(CAST(x AS DOUBLE) / sc) AS INT))
+         END, ',') AS codes
 FROM s
 """
 

@@ -1307,7 +1307,46 @@ def _metrics_transpose_oracle() -> str:
     return "\nUNION ALL\n".join(rows)
 
 
+def q_jaccard_cross_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus ingestion gate (functions/dedup_ml.
+    jaccard_cross_prefix): every (incoming, existing) doc pair with
+    word-set Jaccard ≥ 0.8 — the dedup-on-ingest check a crawl
+    pipeline runs before admitting a new batch into a 100 TB corpus.
+    The batch is a 1/37 hash slice of documents, the corpus the rest.
+
+    t = 0.8 is the regime where the prefix filter WINS (only each
+    doc's rarest ≤20% of tokens enter the inverted-index join — see
+    the measured regime note on jaccard_cross_prefix); the DuckDB
+    twin is the naive all-token equi-join + size filter, valid as an
+    oracle precisely because the prefix path is exact."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        jaccard_cross_prefix,
+    )
+
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 37 == 0)
+    corpus = docs.filter(F.col("doc_id") % 37 != 0)
+    return jaccard_cross_prefix(batch, corpus, threshold=0.8)
+
+
+ORACLE_JACCARD_CROSS_GATE = """
+WITH base AS (SELECT doc_id,
+                     list_distinct(string_split_regex(lower(trim(text)), '[ \\t\\n\\r\\x0B\\f]+')) AS toks
+              FROM documents),
+e AS (SELECT doc_id, len(toks) AS sz, unnest(toks) AS tok FROM base),
+j AS (SELECT a.doc_id AS in_id, b.doc_id AS ex_id, a.sz AS s1, b.sz AS s2,
+             count(*) AS inter
+      FROM e a JOIN e b ON a.tok = b.tok
+      WHERE a.doc_id % 37 = 0 AND b.doc_id % 37 <> 0
+      GROUP BY 1, 2, 3, 4)
+SELECT in_id, ex_id,
+       round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) AS jaccard
+FROM j WHERE round(CAST(inter AS DOUBLE) / (s1 + s2 - inter), 4) >= 0.8
+"""
+
+
 EXT4_REGISTRY = {
+    "jaccard_cross_gate": (q_jaccard_cross_gate, ORACLE_JACCARD_CROSS_GATE),
     "source_token_drift": (q_source_token_drift, ORACLE_SOURCE_TOKEN_DRIFT),
     "bpe_pair_counts": (q_bpe_pair_counts, ORACLE_BPE_PAIR_COUNTS),
     "bpe_tokenize_counts": (q_bpe_tokenize_counts, ORACLE_BPE_TOKENIZE_COUNTS),

@@ -42,13 +42,20 @@ def _green(row: dict) -> bool:
 
 def main() -> None:
     checked: set[str] = set()
+    latest: dict = {}
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
-        for name, row in json.load(open(f)).items():
+        latest = json.load(open(f))
+        for name, row in latest.items():
             if _green(row):
                 checked.add(name)
-    # the current window is ABOUT to be checked this round — exclude it
-    # from the pool or the same entries get re-proposed forever
-    checked |= set(DRIVER_WINDOW)
+    # If the newest CORRECTNESS file already covers the current window,
+    # that window has been adjudicated — its RED rows (e.g. the r5
+    # embedding_quantize comparator crash) must re-enter the pool so
+    # the fix gets a fresh driver slot. Only when the window has NOT
+    # been checked yet (mid-round regeneration) do we exclude it
+    # wholesale, or the same entries get re-proposed forever.
+    if not set(DRIVER_WINDOW) <= set(latest):
+        checked |= set(DRIVER_WINDOW)
     anchors = list(WINDOW_ANCHORS)
     never = [
         n

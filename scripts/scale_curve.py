@@ -49,6 +49,9 @@ def main() -> None:
     replicas = [
         int(r) for r in (sys.argv[1] if len(sys.argv) > 1 else "10,30").split(",")
     ]
+    # ratio keys below read points[hi]/points[lo] with lo=first,
+    # hi=last — sort so '30,10' can't silently invert the ratio
+    replicas = sorted(replicas)
     names = sys.argv[2:] or DEFAULT_QUERIES
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("scale-curve")

@@ -30,6 +30,24 @@ def test_all_queries_run_smoke(spark, sf_dir):
         assert df.count() >= 0, name
 
 
+def test_oracle_surface_has_no_complex_types(spark, sf_dir):
+    """No registry query may emit an Array/Map/Struct output column:
+    the driver's comparator canonicalizes result rows through pandas,
+    where list-typed cells are unhashable and crash the sort (the r5
+    embedding_quantize red row — answers exact, comparator dead).
+    Contract: oracle-surface outputs are scalars; raw-array variants
+    live off-registry (e.g. embedding_quantize_codes)."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    offenders = []
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, sf_dir)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, (ArrayType, MapType, StructType)):
+                offenders.append(f"{name}.{f.name}: {f.dataType.simpleString()}")
+    assert not offenders, offenders
+
+
 def test_driver_window_invariants():
     """The first 50 registry entries ARE the rotation window: exactly
     50, unique, all resolvable, and every §2 family keeps at least one

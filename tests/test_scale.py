@@ -316,7 +316,8 @@ def test_runtime_bloom_filter_prunes_probe_side(spark, sf_dir):
 
 def test_replica_builder_writes_multifile_scans(spark, sf_dir, monkeypatch):
     """The derived scale-up dirs must NOT serialize scans: bench's
-    _build_sf1 :v4 writes documents/embeddings/events as
+    _build_sf1 :v5 writes every replicated table — documents,
+    embeddings, events, lineitem, orders, customer — as
     replica-count-many parquet files (a single file = a single row
     group = ONE scan task at any multiple; measured 33.5 s -> 2.4 s on
     lang_confusion at the 30x point, SCALING.md 'Two-point scaling
