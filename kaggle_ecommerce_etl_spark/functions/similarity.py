@@ -640,9 +640,18 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: np.ndarray | None = None,
 ) -> DataFrame:
     """Approximate top-k via an IVF (inverted-file) index — the
     data-dependent sibling of :func:`lsh_bucket_topk`.
+
+    ``cents``: a pre-trained quantizer matrix (n_cells × dim). When
+    given, the driver-side sampled Lloyd fit is skipped entirely —
+    the production shape, where the quantizer is an offline-trained
+    artifact reused across probes (and the oracle-exactness shape:
+    q_ann_ivf_topk passes the committed
+    functions.ivf_centroids.IVF_PINNED_CENTROIDS so the DuckDB twin
+    re-derives every cell assignment from the same literals).
 
     Shape (the 100 TB path): a coarse spherical-k-means quantizer is
     trained on a bounded sample (:func:`kmeans_centroids`); the corpus
@@ -663,10 +672,11 @@ def ivf_topk(
     Output contract identical to :func:`cosine_topk` (sim HALF_UP round
     6 before rank, ties by neighbor_id, self excluded).
     """
-    cents = kmeans_centroids(
-        corpus, n_cells=n_cells, sample_rows=sample_rows, seed=seed,
-        id_col=id_col, vec_col=vec_col,
-    )
+    if cents is None:
+        cents = kmeans_centroids(
+            corpus, n_cells=n_cells, sample_rows=sample_rows, seed=seed,
+            id_col=id_col, vec_col=vec_col,
+        )
     c_cells = _cell_assign_udf(cents, n_assign)
     q_cells = _cell_assign_udf(cents, nprobe)
 

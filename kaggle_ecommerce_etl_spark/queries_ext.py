@@ -11,6 +11,7 @@ tiebreaks, aliases matching the oracle exactly. Merged into
 
 from __future__ import annotations
 
+import numpy as np
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -772,11 +773,26 @@ FROM r WHERE rank <= {k}
 
 
 def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via an IVF index (coarse spherical k-means
-    quantizer + nprobe cell-probe equi-join + exact re-rank) — the
-    data-DEPENDENT ANN family next to the data-oblivious LSH one.
-    No SQL oracle (centroids come from the driver-side sampled Lloyd
-    loop); recall-vs-bruteforce is asserted in tests/test_queries_ext.py."""
+    """Approximate top-k via an IVF index (coarse quantizer + nprobe
+    cell-probe equi-join + exact re-rank) — the data-DEPENDENT ANN
+    family next to the data-oblivious LSH one.
+
+    ORACLE-CHECKED since r6 (VERDICT r5 next-round #5, the
+    ann_lsh_topk treatment): the quantizer is the COMMITTED matrix
+    functions/ivf_centroids.IVF_PINNED_CENTROIDS — fitted once by the
+    deterministic sampled Lloyd loop on the sf0.01 corpus, then frozen,
+    exactly how production IVF reuses an offline-trained quantizer.
+    With the centroids literal, probe + re-rank is a deterministic
+    function of committed constants and `_ann_ivf_oracle()` re-derives
+    every cell assignment in DuckDB from the SAME float literals (cell
+    rank = dot product desc; normalizing the probe vector can't change
+    that order, so the oracle skips it). Cross-engine risk mirrors the
+    LSH oracle: a rank flip needs two cell dot products within fp
+    summation-order noise (~1e-14) — never observed on the corpus.
+    Recall-vs-bruteforce stays asserted in tests/test_queries_ext.py."""
+    from kaggle_ecommerce_etl_spark.functions.ivf_centroids import (
+        IVF_PINNED_CENTROIDS,
+    )
     from kaggle_ecommerce_etl_spark.functions.similarity import ivf_topk
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -787,7 +803,56 @@ def q_ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_topk(
         emb.filter(F.col("vec_id") < 20), emb,
         k=5, n_cells=16, nprobe=6, n_assign=3,
+        cents=np.asarray(IVF_PINNED_CENTROIDS, dtype=np.float64),
     )
+
+
+def _ann_ivf_oracle(
+    k: int = 5, nprobe: int = 6, n_assign: int = 3, query_max: int = 20,
+) -> str:
+    """DuckDB twin of `q_ann_ivf_topk`: re-derives every cell
+    assignment from the committed centroid literals. Cell rank orders
+    by RAW dot product (the engine ranks by normalized-vector dot;
+    dividing by a positive per-vector norm is order-preserving, so
+    skipping it here only REMOVES an fp divergence source). Parameters
+    MUST mirror the q_ann_ivf_topk call above."""
+    from kaggle_ecommerce_etl_spark.functions.ivf_centroids import (
+        IVF_PINNED_CENTROIDS,
+    )
+
+    cent_rows = ",\n  ".join(
+        f"({i}, [{', '.join(repr(x) for x in row)}])"
+        for i, row in enumerate(IVF_PINNED_CENTROIDS)
+    )
+    return f"""
+WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+cents(cell, c) AS (VALUES
+  {cent_rows}
+),
+s AS (SELECT t.vec_id, cents.cell,
+             list_dot_product(t.v, CAST(cents.c AS DOUBLE[])) AS s
+      FROM t CROSS JOIN cents),
+r AS (SELECT vec_id, cell,
+             ROW_NUMBER() OVER (PARTITION BY vec_id
+                                ORDER BY s DESC, cell) AS rn
+      FROM s),
+cc AS (SELECT vec_id AS neighbor_id, cell FROM r WHERE rn <= {n_assign}),
+qc AS (SELECT vec_id AS query_id, cell FROM r
+       WHERE rn <= {nprobe} AND vec_id < {query_max}),
+cand AS (SELECT DISTINCT query_id, neighbor_id
+         FROM cc JOIN qc USING (cell)
+         WHERE neighbor_id <> query_id),
+sc AS (SELECT query_id, neighbor_id,
+              round(list_cosine_similarity(qv.v, cv.v), 6) AS sim
+       FROM cand JOIN t qv ON qv.vec_id = cand.query_id
+                 JOIN t cv ON cv.vec_id = cand.neighbor_id),
+rk AS (SELECT query_id, neighbor_id, sim,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rank
+       FROM sc)
+SELECT query_id, neighbor_id, sim, CAST(rank AS INT) AS rank
+FROM rk WHERE rank <= {k}
+"""
 
 
 # --------------------------------------------------------------------------
@@ -2880,7 +2945,7 @@ EXT_REGISTRY = {
     "embedding_neardup_pairs": (q_embedding_neardup_pairs, ORACLE_EMB_NEARDUP),
     "embedding_neardup_lsh": (q_embedding_neardup_lsh, _emb_neardup_lsh_oracle()),
     "ann_lsh_topk": (q_ann_lsh_topk, _ann_lsh_oracle()),
-    "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_ivf_topk": (q_ann_ivf_topk, _ann_ivf_oracle()),
     "latest_per_key": (q_latest_per_key, ORACLE_LATEST_PER_KEY),
     "tfidf_top_terms": (q_tfidf_top_terms, ORACLE_TFIDF),
     "bigram_doc_freq": (q_bigram_doc_freq, ORACLE_BIGRAM_DF),
