@@ -274,9 +274,25 @@ def cosine_pairs_above(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     chunk_rows: int = QUERY_CHUNK_ROWS,
+    cache_corpus: bool = True,
 ) -> DataFrame:
     """EXACT all-pairs (id1 < id2) with cosine ≥ threshold — blocked
     matmul, no cross join in the plan.
+
+    ``cache_corpus`` (default on) persists the 2-column corpus
+    projection MEMORY_AND_DISK for the duration of the plan: the
+    chunk loop re-scans the corpus |Q|/chunk_rows times, and each
+    re-scan paying a fresh parquet decode was the dominant variance
+    source in the 30× semantic-dedup band (r6; parquet decode
+    pressure is scheduling/GC-sensitive, a cached columnar scan is
+    not). The cached frame is attached to the returned DataFrame as
+    ``_graft_cached_side`` so callers that materialize the result
+    (e.g. q_semantic_dedup_keep via dup_clusters' eager checkpoint)
+    can unpersist immediately. This is a size-bounded cache by
+    CONTRACT: the exact-n² path is only routed to corpora small
+    enough that n/chunk full scans are acceptable (see the LSH
+    crossover in SCALING.md) — 2-column MEMORY_AND_DISK on such a
+    corpus is strictly cheaper than re-decoding parquet per chunk.
 
     Same physical shape as :func:`cosine_topk_matmul`: one side
     streamed in bounded driver chunks + broadcast, the other scanned
@@ -295,10 +311,17 @@ def cosine_pairs_above(
     """
     sc = df.sparkSession.sparkContext
     side = df.select(id_col, vec_col)
+    if cache_corpus:
+        from pyspark import StorageLevel
+
+        side = side.persist(StorageLevel.MEMORY_AND_DISK)
     schema = "id1 long, id2 long, sim double"
 
     partials: list[DataFrame] = []
-    for ids, vecs in _query_chunks(df, id_col, vec_col, chunk_rows):
+    # iterate the SAME (cached) projection the partials scan: the
+    # toLocalIterator pass populates the cache partition by partition,
+    # so every chunk's corpus scan below hits memory
+    for ids, vecs in _query_chunks(side, id_col, vec_col, chunk_rows):
         bc = sc.broadcast(_normalized(ids, vecs))
 
         _r6 = _make_round6()
@@ -321,10 +344,14 @@ def cosine_pairs_above(
         partials.append(side.mapInPandas(_pairs, schema))
 
     if not partials:
+        if cache_corpus:
+            side.unpersist()
         return df.sparkSession.createDataFrame([], schema)
     out = partials[0]
     for p in partials[1:]:
         out = out.unionByName(p)
+    if cache_corpus:
+        out._graft_cached_side = side  # caller unpersists post-materialize
     return out
 
 

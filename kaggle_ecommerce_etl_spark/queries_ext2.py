@@ -528,7 +528,13 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = _t(spark, sf_dir, "embeddings")
     pairs = cosine_pairs_above(emb, threshold=0.4)
+    # dup_clusters eagerly checkpoints the edge set, so the O(n²) pair
+    # scan runs exactly once — the chunk-loop corpus cache is dead
+    # weight from here on; release it
     labels = dup_clusters(pairs)
+    cached = getattr(pairs, "_graft_cached_side", None)
+    if cached is not None:
+        cached.unpersist()
     return (
         emb.select("vec_id")
         .join(labels, F.col("vec_id") == F.col("id"), "left")
