@@ -103,6 +103,10 @@ EXTRA = [
     "embedding_qc",
     "token_coverage_curve",
     "lang_confusion",
+    # r6: the two queries that gained exact oracles this round — the
+    # pinned-quantizer IVF probe and the cross-corpus ingestion gate
+    "ann_ivf_topk",
+    "jaccard_cross_gate",
 ]
 
 

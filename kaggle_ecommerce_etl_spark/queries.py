@@ -1549,23 +1549,13 @@ WINDOW_ANCHORS = (
 
 #: The driver hash-checks the FIRST 50 registry queries. This list IS
 #: the window, applied as a final reorder after all merges: rotated
-#: each round so every oracle-bearing query eventually earns a
-#: driver-green CORRECTNESS row (r1-r3 covered 64; this r4 window keeps
-#: one representative per SURVEY §2 family and fills the rest with
-#: never-checked entries, favoring families with no green sibling:
-#: the third query wave's jsonl/stream-stream/packing/semantic-dedup/
-#: shuffle entries displaced five whose family already has a green or
-#: in-window sibling (asof_join_broadcast→asof_join_forward,
-#: shingle_jaccard→word_jaccard r3-green, winnow→doc_fingerprint
-#: r3-green, scd2→latest_per_key shape, quantile_stats→
-#: summary_stats_exact percentiles); displaced queries remain verified
-#: by scripts/check_oracle.py + committed ORACLE_LOCAL evidence and
-#: rotate in r5. The remaining never-driver-checked oracle-bearing
-#: set is reproducible as (oracle-bearing REGISTRY) minus
-#: (CORRECTNESS_r0*.json ∪ this window) — 97 as of r4 close (the
-#: count grew because r4 added 22 new queries while rotating 21+3
-#: slots); four ~25-slot rotations (r5-r8) cover them all. Rotate
-#: oldest-added first and keep the family anchors asserted by
+#: each round (scripts/rotate_window.py) so every oracle-bearing query
+#: eventually earns a driver-green CORRECTNESS row. Coverage by round
+#: close: r1-r3 64, r4 85, r5 125 of the frozen registry; never-green
+#: tail at r6 open 87 (reproducible as oracle-bearing REGISTRY minus
+#: green rows in CORRECTNESS_r0*.json). Two more 42-fresh-slot
+#: rotations (r6, r7) cover the tail. Rotate oldest-added first and
+#: keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
     # r6 rotation (scripts/rotate_window.py output regenerated AFTER

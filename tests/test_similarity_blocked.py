@@ -127,3 +127,50 @@ def test_lsh_neardup_auto_equals_explicit_params(spark, sf_dir):
     auto = lsh_neardup_pairs(emb, 0.4, n_planes="auto", n_rows=n)
     explicit = lsh_neardup_pairs(emb, 0.4, n_planes=b, n_tables=t)
     assert _rows(auto) == _rows(explicit)
+
+
+def test_pinned_ivf_centroids_invariants():
+    """The committed IVF quantizer (functions/ivf_centroids.py) must
+    stay a valid spherical-k-means artifact: 16 unit-norm 64-d rows,
+    pairwise distinct. Guards against a truncated or denormalized
+    refit being committed — the oracle SQL re-derives cell assignments
+    from these exact literals, so a bad matrix silently degrades
+    recall while staying 'hash-exact'."""
+    import numpy as np
+
+    from kaggle_ecommerce_etl_spark.functions.ivf_centroids import (
+        IVF_DIM,
+        IVF_N_CELLS,
+        IVF_PINNED_CENTROIDS,
+    )
+
+    m = np.asarray(IVF_PINNED_CENTROIDS, dtype=np.float64)
+    assert m.shape == (IVF_N_CELLS, IVF_DIM) == (16, 64)
+    norms = np.linalg.norm(m, axis=1)
+    assert np.allclose(norms, 1.0, atol=1e-9), "centroids not unit-norm"
+    sims = m @ m.T
+    np.fill_diagonal(sims, 0.0)
+    assert sims.max() < 0.999, "duplicate/collapsed centroids"
+
+
+def test_pairs_above_corpus_cache_is_released(spark, sf_dir):
+    """cosine_pairs_above persists its corpus projection across chunk
+    scans and hands it to the caller via _graft_cached_side;
+    q_semantic_dedup_keep must release it once dup_clusters has
+    checkpointed the edges (a leaked cache accumulates across the
+    bench loop and distorts later queries' memory budget)."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        cosine_pairs_above,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = cosine_pairs_above(emb, threshold=0.4)
+    cached = pairs._graft_cached_side
+    assert cached.storageLevel.useMemory  # persisted
+    assert pairs.count() > 0
+    cached.unpersist()
+    assert not cached.storageLevel.useMemory
+    # cache off → no handle attached, and results identical
+    uncached = cosine_pairs_above(emb, threshold=0.4, cache_corpus=False)
+    assert not hasattr(uncached, "_graft_cached_side")
+    assert uncached.count() == pairs.count()
