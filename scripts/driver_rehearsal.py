@@ -65,7 +65,11 @@ def main() -> int:
         if len(sys.argv) > 1 and "/" in sys.argv[1]
         else "/root/testdata/sf0.01"
     )
-    only = [a for a in sys.argv[1:] if "/" not in a] or list(DRIVER_WINDOW)
+    names = [a for a in sys.argv[1:] if "/" not in a]
+    if names == ["--all"]:
+        only = list(REGISTRY)  # whole registry, tail included
+    else:
+        only = names or list(DRIVER_WINDOW)
 
     from kaggle_ecommerce_etl_spark.session import get_spark
 
