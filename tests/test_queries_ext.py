@@ -162,3 +162,55 @@ def test_incremental_neardup_size_filter_boundary(spark, tmp_path):
     assert out[10].is_duplicate
     assert out[10].best_match == 11
     assert out[10].best_jaccard == 0.5
+
+
+def test_embedding_quantize_roundtrip_semantics(spark, sf_dir):
+    """int8 quantization must actually MEAN int8 quantization, not just
+    hash-match its oracle: every code in [-127, 127], and
+    codes × scale reconstructs each component within scale/2 (the
+    half-step bound of round-to-nearest). Uses the raw-array variant
+    (embedding_quantize_codes); the registry entry emits the same codes
+    as a comma-joined string for driver comparability."""
+    from kaggle_ecommerce_etl_spark.queries_ext import embedding_quantize_codes
+
+    out = embedding_quantize_codes(spark, sf_dir)
+    emb = {r.vec_id: r.embedding
+           for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding").collect()}
+    rows = out.collect()
+    assert len(rows) == len(emb)
+    for r in rows[:200]:
+        x = emb[r.vec_id]
+        assert all(-127 <= c <= 127 for c in r.codes), r.vec_id
+        # scale in the output is rounded to 6dp for the oracle contract;
+        # loosen the reconstruction bound accordingly
+        tol = r.scale / 2 + 1e-6 * 127 + 1e-12
+        assert all(abs(c * r.scale - xi) <= tol
+                   for c, xi in zip(r.codes, x)), r.vec_id
+
+
+def test_jaccard_cross_gate_matches_naive(spark, sf_dir):
+    """The cross-corpus ingestion gate (prefix-filtered) must equal the
+    naive all-pairs computation on the same slice split — exactness is
+    the property that makes its naive DuckDB oracle valid."""
+    from kaggle_ecommerce_etl_spark.queries_ext4 import q_jaccard_cross_gate
+
+    got = {(r.in_id, r.ex_id): r.jaccard
+           for r in q_jaccard_cross_gate(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.array_distinct(
+            F.split(F.lower(F.trim(F.col("text"))), r"[ \t\n\r\x0b\f]+")
+        ).alias("toks"),
+    ).collect()
+    batch = [(r.doc_id, set(r.toks)) for r in docs if r.doc_id % 37 == 0]
+    corpus = [(r.doc_id, set(r.toks)) for r in docs if r.doc_id % 37 != 0]
+    want = {}
+    for bi, bt in batch:
+        for ci, ct in corpus:
+            inter = len(bt & ct)
+            if not inter:
+                continue
+            j = round(inter / (len(bt) + len(ct) - inter), 4)
+            if j >= 0.8:
+                want[(bi, ci)] = j
+    assert got == want
