@@ -530,7 +530,30 @@ def _cross_prefix_candidates(
     posting lists never reach the join — candidate volume is
     Σ_rare-tok df_b·df_c, not Σ_all-tok df_b·df_c. A size-
     compatibility conjunct (j ≥ t' forces min(s1,s2) ≥ t'·max) prunes
-    the equi-join output before the distinct."""
+    the equi-join output before the aggregation.
+
+    POSITIONAL FILTER (PPJoin-style, Xiao et al. 2008 — exact, r6):
+    both docs' token lists are sorted by the SAME global (df, token)
+    order, so prefixes are PREFIXES of that order — and the
+    globally-first shared prefix token (1-based positions p1*, p2*)
+    admits NO shared token before it (an earlier shared token would
+    itself be in both prefixes, contradicting minimality; it is the
+    same token that minimizes both positions, by order consistency).
+    Hence overlap ≤ 1 + min(s1−p1*, s2−p2*) with p1* = min p1,
+    p2* = min p2 over the pair's shared prefix tokens. Candidates are
+    grouped (replacing the distinct — same shuffle) and pruned when
+    that bound < α = t'/(1+t')·(s1+s2), the minimum intersection
+    Jaccard ≥ t' forces. Using t_eff (the round-4 margin) loosens
+    α → never prunes a true pair.
+
+    Measured honestly (r6, sf0.1, t=0.8): 338k → 319k candidates and
+    a time wash — because 146.9k of the candidates are TRUE pairs on
+    this dup-dense synthetic corpus (~46% precision bounds what ANY
+    candidate filter can remove). The filter's regime is the sparse
+    one — a real crawl batch where admitted pairs are ≪ candidates
+    and the first-shared-position bound prunes the hot mid-prefix
+    band; it costs nothing here (the groupBy replaces the distinct at
+    the same shuffle), so it stays on unconditionally."""
     from pyspark.sql.window import Window
 
     t_eff = threshold - _ROUND4_MARGIN
@@ -553,19 +576,31 @@ def _cross_prefix_candidates(
         )
 
     pb = _prefix(b_ex).select(
-        F.col("__id").alias("in_id"), F.col("__size").alias("__s1"), "__tok"
+        F.col("__id").alias("in_id"), F.col("__size").alias("__s1"),
+        F.col("__rn").alias("__p1"), "__tok",
     )
     pc = _prefix(c_ex).select(
-        F.col("__id").alias("ex_id"), F.col("__size").alias("__s2"), "__tok"
+        F.col("__id").alias("ex_id"), F.col("__size").alias("__s2"),
+        F.col("__rn").alias("__p2"), "__tok",
     )
+    alpha = F.lit(t_eff / (1.0 + t_eff)) * (F.col("__s1") + F.col("__s2"))
     return (
         pb.join(pc, "__tok")
         .filter(
             (F.col("__s2") * F.lit(t_eff) <= F.col("__s1"))
             & (F.col("__s1") * F.lit(t_eff) <= F.col("__s2"))
         )
+        .groupBy("in_id", "ex_id", "__s1", "__s2")
+        .agg(F.min("__p1").alias("__p1m"), F.min("__p2").alias("__p2m"))
+        .filter(
+            F.lit(1)
+            + F.least(
+                F.col("__s1") - F.col("__p1m"),
+                F.col("__s2") - F.col("__p2m"),
+            )
+            >= alpha
+        )
         .select("in_id", "ex_id")
-        .distinct()
     )
 
 
