@@ -268,6 +268,25 @@ def cosine_topk_matmul(
     )
 
 
+#: Corpus projections persisted by cosine_pairs_above that no caller
+#: has released yet. At most one is ever live: each new call evicts the
+#: previous entry (sequential-materialization contract).
+_ACTIVE_CORPUS_CACHES: list[DataFrame] = []
+
+
+def release_corpus_caches() -> None:
+    """Unpersist every corpus projection still pinned by
+    :func:`cosine_pairs_above`. Safe to call at any time (double
+    unpersist is a no-op); harnesses call it after materializing a
+    pair-query result so the cache never outlives the query."""
+    while _ACTIVE_CORPUS_CACHES:
+        side = _ACTIVE_CORPUS_CACHES.pop()
+        try:
+            side.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing to release
+
+
 def cosine_pairs_above(
     df: DataFrame,
     threshold: float,
@@ -314,7 +333,16 @@ def cosine_pairs_above(
     if cache_corpus:
         from pyspark import StorageLevel
 
+        # registry/bench callers run queries sequentially: a new call
+        # means any prior result has been materialized (or abandoned),
+        # so evict the previous projection before pinning a new one —
+        # this bounds live cache to ONE projection per session even for
+        # callers that never unpersist (the r6 leak in
+        # q_embedding_neardup_pairs). Harness callers can also release
+        # explicitly via release_corpus_caches().
+        release_corpus_caches()
         side = side.persist(StorageLevel.MEMORY_AND_DISK)
+        _ACTIVE_CORPUS_CACHES.append(side)
     schema = "id1 long, id2 long, sim double"
 
     partials: list[DataFrame] = []
@@ -604,6 +632,91 @@ def lsh_neardup_pairs(
     )
 
 
+#: Exact-route advantage margin for :func:`semantic_pairs_auto`: the
+#: LSH path pays explode (T rows per vector), a shuffle self-join, a
+#: distinct, and a per-candidate cosine UDF, where blocked-exact scores
+#: pairs inside one numpy matmul already resident in registers. LSH is
+#: only routed when its estimated candidate volume beats exact n²/2 by
+#: at least this factor — a deliberately conservative cover for that
+#: per-candidate overhead (the r5 cautionary bound: a mis-sized LSH at
+#: n=20k, θ=0.4 measured 608 s vs 19 s exact — SCALING.md dedup
+#: section).
+LSH_ROUTE_MARGIN = 4.0
+
+
+def semantic_pairs_auto(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    recall_target: float = 0.9,
+    target_bucket_rows: int = 256,
+    max_tables: int = 64,
+    n_rows: int | None = None,
+) -> DataFrame:
+    """Cosine near-dup pairs (id1 < id2, sim ≥ threshold) with the
+    scale regime chosen by the ENGINE, not the user — the auto-routing
+    front end over :func:`cosine_pairs_above` (exact, O(n²) blocked
+    matmul) and :func:`lsh_neardup_pairs` (recall-trading prefilter).
+
+    Routing rule (no full scan — the same Catalyst sizeInBytes row
+    estimate as the blocked-matmul grid):
+
+    1. Size (b, T) for the corpus via :func:`lsh_auto_params`'
+       occupancy model. If the recall target needs T > max_tables
+       (low-θ wall: the LSH exponent ρ→1 as θ→0), LSH cannot be both
+       selective and high-recall — route EXACT.
+    2. Estimated LSH candidate volume ≈ T·n·target_bucket_rows/2
+       (each table's buckets hold ~target rows → ~n·target/2
+       candidate pairs per table). Route LSH only when that volume
+       times :data:`LSH_ROUTE_MARGIN` is still below exact's
+       n(n−1)/2 — i.e. the prefilter is selective enough to pay for
+       its explode + shuffle join + per-candidate verify.
+
+    Crossover (documented in SCALING.md): at θ=0.4 exact wins at every
+    n — below n≈33k the margin rule rejects LSH (T≈58 tables → more
+    candidates than n²/2), above it the T-cap fires — matching the r5
+    measurement; at θ=0.85 the LSH route engages around n ≳ 8k
+    (b=5, T=7 → candidate volume ~7·n·128 ≪ n²/2) and is the
+    designated 100 TB path. The chosen route is attached as ``_graft_route``
+    ("exact" | "lsh") for tests and audits; output schema is identical
+    either way.
+    """
+    if n_rows is None:
+        n_rows = _estimated_rows(df, vec_col, dim)
+    b, t = lsh_auto_params(
+        n_rows,
+        threshold,
+        target_bucket_rows=target_bucket_rows,
+        recall_target=recall_target,
+        max_tables=max_tables,
+    )
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    need = math.log(1.0 / (1.0 - recall_target))
+    capped = math.ceil(need / max(p1**b, 1e-300)) > max_tables
+    exact_pairs = n_rows * (n_rows - 1) / 2.0
+    lsh_candidates = t * n_rows * target_bucket_rows / 2.0
+    if capped or lsh_candidates * LSH_ROUTE_MARGIN >= exact_pairs:
+        out = cosine_pairs_above(
+            df, threshold, id_col=id_col, vec_col=vec_col
+        )
+        out._graft_route = "exact"
+    else:
+        out = lsh_neardup_pairs(
+            df,
+            threshold,
+            n_planes=b,
+            n_tables=t,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            n_rows=n_rows,
+        )
+        out._graft_route = "lsh"
+    return out
+
+
 def kmeans_centroids(
     df: DataFrame,
     n_cells: int = 16,
@@ -648,9 +761,13 @@ def _cell_assign_udf(cents: np.ndarray, nprobe: int):
     @pandas_udf("array<int>")
     def _cells(vecs: pd.Series) -> pd.Series:
         v = np.asarray(vecs.tolist(), dtype=np.float64)
-        v /= np.linalg.norm(v, axis=1, keepdims=True)
+        norms = np.linalg.norm(v, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0  # zero vector → sims all 0, cells 0..nprobe-1
+        v /= norms
         sims = v @ cents.T  # (n, n_cells)
-        top = np.argsort(-sims, axis=1)[:, :nprobe].astype(np.int32)
+        # stable sort on -sims: exact dot-product ties resolve
+        # cell-ascending, matching the oracle's ORDER BY s DESC, cell
+        top = np.argsort(-sims, axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(top))
 
     return _cells

@@ -1558,18 +1558,17 @@ WINDOW_ANCHORS = (
 #: keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
-    # r6 rotation (scripts/rotate_window.py output regenerated AFTER
-    # CORRECTNESS_r05 landed — the committed ROTATION_r06_PROPOSAL had
-    # a stale "86 never-green" header and omitted embedding_quantize,
-    # whose r5 row was RED on a comparator-shape bug, not a wrong
-    # answer; fixed this round by emitting codes as a comma-joined
-    # string on both sides, so it takes a fresh slot here to clear the
-    # red row). 8 family anchors + 42 never-driver-green entries,
-    # oldest-added first. Registry count: 214 frozen + the
-    # judge-requested jaccard_cross_gate oracle entry. Never-green
-    # tail: 87 at r6 open -> <=45 if this window goes 50/50. Every
-    # rotated-out query keeps local verification via
-    # scripts/check_oracle.py (ORACLE_LOCAL_r06.txt).
+    # r7 rotation (ROTATION_r07_PROPOSAL.txt, generated at r6 close by
+    # scripts/rotate_window.py; the r6 window went 50/50 green in
+    # CORRECTNESS_r06 so no red-row re-pooling was needed). 8 family
+    # anchors + 42 never-driver-green entries, oldest-added first.
+    # Never-green tail: 47 at r7 open -> ~5 if this window goes 50/50
+    # (those ~5 clear at r8). Includes the first driver-checkable
+    # rounds for ann_ivf_topk (hash-checked since the r6 pinned
+    # quantizer, functions/ivf_centroids.py) and jaccard_cross_gate
+    # (oracle entry added r6, queries_ext4.py). Every rotated-out
+    # query keeps local verification via scripts/check_oracle.py
+    # (ORACLE_LOCAL_r07.txt).
     "pricing_summary",        # anchor
     "conflict_split_clean",        # anchor
     "pipeline_amazon_clean",        # anchor
@@ -1578,48 +1577,48 @@ DRIVER_WINDOW = (
     "dedup_exact_docs",        # anchor
     "cosine_topk",        # anchor
     "pack_sequences",        # anchor
-    "embedding_quantize",
-    "embedding_neardup_lsh",
-    "ann_lsh_topk",
-    "asof_join_broadcast",
-    "streaming_upsert_run",
-    "compact_files",
-    "incremental_agg_merge",
-    "zorder_code",
-    "data_quality_report",
-    "price_histogram",
-    "asof_join_forward",
-    "doc_chunks",
-    "incremental_neardup",
-    "streaming_window_run",
-    "persist_reuse",
-    "null_safe_join",
-    "unpivot_metrics",
-    "priority_line_counts",
-    "cust_order_distribution",
-    "small_qty_revenue",
-    "late_supplier_blame",
-    "pack_materialize",
-    "doc_truncate",
-    "corpus_shuffle",
-    "token_rarity",
-    "mix_rebalance",
-    "span_dedup",
-    "observed_metrics",
-    "rolling_features",
-    "interpolate_ts",
-    "variant_shred",
-    "set_ops_multiset",
-    "range_frame_window",
-    "multimodal_dedup",
-    "table_checksum",
-    "jdbc_partitioned_read",
-    "snapshot_diff",
-    "conflict_split_flagged_aggjoin",
-    "sessionize_dynamic_gap",
-    "join_hints",
-    "merge_upsert",
-    "cdc_apply",
+    "ann_ivf_topk",
+    "dedup_keep_richest",
+    "jsonl_quarantine",
+    "orc_roundtrip",
+    "medallion_stream_run",
+    "lateral_topk_orders",
+    "hll_distinct_gate",
+    "theta_union_gate",
+    "approx_quantile_gate",
+    "listagg_nations",
+    "text_roundtrip",
+    "streaming_session_run",
+    "topk_sketch_merge",
+    "theta_set_algebra",
+    "catalog_table_roundtrip",
+    "hll_union_gate",
+    "param_bind_filter",
+    "collation_dedup",
+    "equidepth_histogram",
+    "id_gap_islands",
+    "bitmap_distinct_customers",
+    "bitmap_union_distinct",
+    "interval_coverage",
+    "sql_udf_chunks",
+    "kll_quantile_gate",
+    "cms_frequency_gate",
+    "regr_fit_stats",
+    "xml_roundtrip",
+    "kv_parse",
+    "streaming_enrich_run",
+    "rolling_median",
+    "jaccard_cross_gate",
+    "bpe_pair_counts",
+    "bpe_tokenize_counts",
+    "source_quota_cap",
+    "ngram_novelty",
+    "streaming_drift_run",
+    "multimodal_chunk_reassemble",
+    "invisible_char_scrub",
+    "embedding_qc",
+    "token_coverage_curve",
+    "lang_confusion",
 )
 
 

@@ -546,6 +546,39 @@ def q_semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_semantic_dedup_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup with the scale regime chosen by the ENGINE —
+    identical decision contract to q_semantic_dedup_keep, but the pair
+    generator is functions.similarity.semantic_pairs_auto, which
+    routes exact-pairs ↔ LSH from lsh_auto_params' occupancy estimate
+    (VERDICT r6 next-round #5: the one place the engine still made the
+    USER pick the regime). At sf0.01 (500 vectors, θ=0.4) the router
+    MUST pick the exact route (low-θ wall — see the routing table in
+    SCALING.md), so the result is oracle-exact against the same
+    RECURSIVE-CTE closure as the keep variant;
+    tests/test_similarity_blocked.py pins the route choice itself."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import dup_clusters
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        semantic_pairs_auto,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = semantic_pairs_auto(emb, threshold=0.4)
+    labels = dup_clusters(pairs)
+    cached = getattr(pairs, "_graft_cached_side", None)
+    if cached is not None:
+        cached.unpersist()
+    return (
+        emb.select("vec_id")
+        .join(labels, F.col("vec_id") == F.col("id"), "left")
+        .select(
+            "vec_id",
+            F.coalesce("cluster", "vec_id").alias("cluster_id"),
+        )
+        .withColumn("is_kept", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
 ORACLE_SEMANTIC_DEDUP = """
 WITH RECURSIVE t AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1960,6 +1993,7 @@ EXT2_REGISTRY = {
     "corpus_shuffle": (q_corpus_shuffle, ORACLE_CORPUS_SHUFFLE),
     "token_rarity": (q_token_rarity, ORACLE_TOKEN_RARITY),
     "semantic_dedup_keep": (q_semantic_dedup_keep, ORACLE_SEMANTIC_DEDUP),
+    "semantic_dedup_auto": (q_semantic_dedup_auto, ORACLE_SEMANTIC_DEDUP),
     "mix_rebalance": (q_mix_rebalance, ORACLE_MIX_REBALANCE),
     "span_dedup": (q_span_dedup, ORACLE_SPAN_DEDUP),
     "observed_metrics": (q_observed_metrics, ORACLE_OBSERVED_METRICS),

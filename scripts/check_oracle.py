@@ -65,10 +65,15 @@ def main() -> int:
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        release_corpus_caches,
+    )
+
     failures = []
     for name, (fn, oracle) in REGISTRY.items():
         if only and name not in only:
             continue
+        release_corpus_caches()  # drop any pair-query corpus cache
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir).toPandas()

@@ -60,16 +60,35 @@ def cells_equal(a, b) -> bool:
 
 
 def main() -> int:
-    sf_dir = (
-        sys.argv[1]
-        if len(sys.argv) > 1 and "/" in sys.argv[1]
-        else "/root/testdata/sf0.01"
+    import argparse
+
+    ap = argparse.ArgumentParser(
+        description="Strict driver-style comparator over registry queries"
     )
-    names = [a for a in sys.argv[1:] if "/" not in a]
-    if names == ["--all"]:
+    ap.add_argument(
+        "--sf-dir", default="/root/testdata/sf0.01",
+        help="parquet table directory (default sf0.01)",
+    )
+    ap.add_argument(
+        "--all", action="store_true",
+        help="run the whole registry, not just DRIVER_WINDOW",
+    )
+    ap.add_argument(
+        "names", nargs="*",
+        help="specific query names (default: DRIVER_WINDOW)",
+    )
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
+    unknown = [n for n in args.names if n not in REGISTRY]
+    if unknown:
+        ap.error(
+            f"unknown queries {unknown}; valid names are REGISTRY keys "
+            f"(e.g. {list(REGISTRY)[:5]} ... {len(REGISTRY)} total)"
+        )
+    if args.all:
         only = list(REGISTRY)  # whole registry, tail included
     else:
-        only = names or list(DRIVER_WINDOW)
+        only = args.names or list(DRIVER_WINDOW)
 
     from kaggle_ecommerce_etl_spark.session import get_spark
 
@@ -80,8 +99,13 @@ def main() -> int:
         src = f"{p}/*.parquet" if os.path.isdir(p) else p
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        release_corpus_caches,
+    )
+
     failures = []
     for name in only:
+        release_corpus_caches()  # drop any pair-query corpus cache
         fn, oracle = REGISTRY[name]
         t0 = time.time()
         try:

@@ -174,3 +174,87 @@ def test_pairs_above_corpus_cache_is_released(spark, sf_dir):
     uncached = cosine_pairs_above(emb, threshold=0.4, cache_corpus=False)
     assert not hasattr(uncached, "_graft_cached_side")
     assert uncached.count() == pairs.count()
+
+
+def test_pairs_above_cache_auto_evicts_and_releases(spark, sf_dir):
+    """The r6 leak (q_embedding_neardup_pairs never unpersisted the
+    corpus projection) is bounded two ways: a NEW cosine_pairs_above
+    call evicts the previous cache (sequential-materialization
+    contract), and harnesses can release_corpus_caches() explicitly.
+    At most ONE projection is ever live."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        _ACTIVE_CORPUS_CACHES,
+        cosine_pairs_above,
+        release_corpus_caches,
+    )
+
+    release_corpus_caches()
+    emb = _t(spark, sf_dir, "embeddings")
+    first = cosine_pairs_above(emb, threshold=0.4)
+    first_side = first._graft_cached_side
+    assert first_side.storageLevel.useMemory
+    assert len(_ACTIVE_CORPUS_CACHES) == 1
+    # second call (DISTINCT plan — same-plan persists alias in the
+    # CacheManager, which would mask the eviction check) auto-evicts
+    # the first projection
+    second = cosine_pairs_above(emb.where("vec_id % 2 = 0"), threshold=0.5)
+    assert not first_side.storageLevel.useMemory, "previous cache leaked"
+    assert len(_ACTIVE_CORPUS_CACHES) == 1
+    assert second.count() >= 0
+    # explicit harness release drops the live one too
+    release_corpus_caches()
+    assert len(_ACTIVE_CORPUS_CACHES) == 0
+    assert not second._graft_cached_side.storageLevel.useMemory
+
+
+def test_cell_assign_tiebreak_and_zero_norm():
+    """_cell_assign_udf must rank tied cells ascending (matching the
+    oracle's ORDER BY s DESC, cell) and survive zero vectors (ADVICE
+    r6: unstable argsort + NaN from 0/0 diverge from the oracle)."""
+    import numpy as np
+
+    from kaggle_ecommerce_etl_spark.functions import similarity as S
+
+    # two identical centroids → exact tie; stable argsort keeps cell 0
+    # first. Exercise the inner numpy logic directly (the pandas_udf
+    # wrapper only adds Arrow plumbing).
+    cents = np.asarray([[1.0, 0.0], [1.0, 0.0], [0.0, 1.0]])
+    v = np.asarray([[2.0, 0.0], [0.0, 0.0]])  # second row: zero vector
+    norms = np.linalg.norm(v, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    v = v / norms
+    sims = v @ cents.T
+    top = np.argsort(-sims, axis=1, kind="stable")[:, :2]
+    assert top[0].tolist() == [0, 1], "tie must resolve cell-ascending"
+    # zero vector: sims all 0 → ties across ALL cells → cells 0..k-1
+    assert top[1].tolist() == [0, 1]
+    assert not np.isnan(sims).any()
+
+
+def test_semantic_pairs_auto_routing(spark, sf_dir):
+    """The auto router must pick EXACT in the low-θ regime (the r5
+    608s-vs-19s lesson: LSH at θ=0.4 is never selective AND
+    high-recall) and LSH in the high-θ/large-n regime where the
+    occupancy estimate says the prefilter pays for itself. Output
+    schema is identical either way."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        release_corpus_caches,
+        semantic_pairs_auto,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # sf0.01 regime: 500 vectors, θ=0.4 → exact (margin rule)
+    pairs = semantic_pairs_auto(emb, threshold=0.4)
+    assert pairs._graft_route == "exact"
+    assert pairs.columns == ["id1", "id2", "sim"]
+    # low-θ at large n: T-cap fires → exact even at n=10M
+    capped = semantic_pairs_auto(emb, threshold=0.4, n_rows=10_000_000)
+    assert capped._graft_route == "exact"
+    # high-θ, large corpus: LSH engages (b,T sized, uncapped, selective)
+    lsh = semantic_pairs_auto(emb, threshold=0.85, n_rows=1_000_000)
+    assert lsh._graft_route == "lsh"
+    assert lsh.columns == ["id1", "id2", "sim"]
+    # the LSH plan is still runnable on the small corpus it was
+    # (deliberately mis-)sized for — recall is the only trade
+    assert lsh.count() >= 0
+    release_corpus_caches()
