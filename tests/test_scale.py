@@ -338,3 +338,31 @@ def test_replica_builder_writes_multifile_scans(spark, sf_dir, monkeypatch):
         n_out = spark.read.parquet(f"{out}/{t}.parquet").count()
         assert n_out == 2 * n_src
     assert os.path.exists(f"{out}/_SPARK_GRAFT_READY")
+
+
+def test_ensure_min_partitions_2x_threshold(spark):
+    """Repartition only when it at least doubles parallelism (r7, the
+    SCALE_CURVE_r06 minhash answer): a 1-partition frame fans out to
+    defaultParallelism; a frame already at >n/2 partitions keeps its
+    native partitioning — the full-data round-robin shuffle there costs
+    more than the marginal fan-out gain."""
+    import tempfile
+
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
+    n = spark.sparkContext.defaultParallelism
+    with tempfile.TemporaryDirectory() as d:
+        # single-file scan (the real sf0.01/sf0.1 layout): fans out
+        spark.range(1000).coalesce(1).write.parquet(f"{d}/one")
+        one = spark.read.parquet(f"{d}/one")
+        assert ensure_min_partitions(one).rdd.getNumPartitions() == n
+        # just over half the target (the 30-parts-on-32-cores shape
+        # from the scale-curve probe): must be a no-op — the full-data
+        # shuffle costs more than the marginal fan-out gain
+        k = n // 2 + 1
+        spark.range(1000).repartition(k).write.parquet(f"{d}/near")
+        near = spark.read.parquet(f"{d}/near")
+        native = near.rdd.getNumPartitions()
+        if native > n // 2:  # tiny files can coalesce in the scan
+            out = ensure_min_partitions(near)
+            assert out.rdd.getNumPartitions() == native
