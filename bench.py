@@ -62,6 +62,7 @@ EXTRA = [
     "corpus_pipeline",
     "span_dedup",
     "semantic_dedup_keep",
+    "semantic_dedup_auto",  # r7: engine-routed regime (exact at sf0.1)
     "token_rarity",
     "cust_order_distribution",
     "late_supplier_blame",
