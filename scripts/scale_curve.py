@@ -54,27 +54,52 @@ def main() -> None:
     replicas = sorted(replicas)
     names = sys.argv[2:] or DEFAULT_QUERIES
     src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    # runs per (point, query): min-of-2 assumes a quiet host; on a
+    # noisy hypervisor day (r7: same-plan runs varied 2-5x in BOTH
+    # directions inside one session, invisible to guest-side steal
+    # accounting) raise this so min-of-N can reject the noise
+    n_runs = int(os.environ.get("SPARK_GRAFT_CURVE_RUNS", "2"))
     spark = get_spark("scale-curve")
     spark.range(10).count()  # JVM warm
 
+    def _canary() -> float:
+        """Constant-plan host-noise reference (same plan as bench.py's
+        canary: count(*) over the SOURCE nation table through the noop
+        sink, min-of-3). Measured once per scale point so each point's
+        readings carry their own host-state stamp."""
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.read.parquet(f"{src}/nation.parquet").groupBy().count(
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
     points: dict[str, dict[str, float]] = {}
+    run_detail: dict[str, dict[str, list[float]]] = {}
+    canaries: dict[str, float] = {}
     for r in replicas:
         bench.SF1_REPLICAS = r  # tag includes r — each multiple caches apart
         run_dir = bench._build_sf1(spark, src)
+        canaries[str(r)] = _canary()
         timings: dict[str, float] = {}
+        detail: dict[str, list[float]] = {}
         for name in names:
             fn, _oracle = REGISTRY[name]
             runs = []
-            for _ in range(2):
+            for _ in range(n_runs):
                 t0 = time.time()
                 fn(spark, run_dir).write.format("noop").mode("overwrite").save()
                 runs.append(time.time() - t0)
             timings[name] = round(min(runs), 3)
-            print(f"# {r}x {name}: {timings[name]}s (runs {[round(x,2) for x in runs]})",
+            detail[name] = [round(x, 2) for x in runs]
+            print(f"# {r}x {name}: {timings[name]}s (runs {detail[name]})",
                   file=sys.stderr)
         points[str(r)] = timings
+        run_detail[str(r)] = detail
 
-    out: dict = {"points": points, "unit": "sec", "agg": "min-of-2"}
+    out: dict = {"points": points, "unit": "sec", "agg": f"min-of-{n_runs}",
+                 "canary_per_point": canaries, "run_detail": run_detail}
     if len(replicas) >= 2:
         lo, hi = str(replicas[0]), str(replicas[-1])
         out[f"ratio_{hi}_over_{lo}"] = {
