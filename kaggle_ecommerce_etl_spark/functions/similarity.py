@@ -634,14 +634,23 @@ def lsh_neardup_pairs(
 
 #: Exact-route advantage margin for :func:`semantic_pairs_auto`: the
 #: LSH path pays explode (T rows per vector), a shuffle self-join, a
-#: distinct, and a per-candidate cosine UDF, where blocked-exact scores
-#: pairs inside one numpy matmul already resident in registers. LSH is
-#: only routed when its estimated candidate volume beats exact n²/2 by
-#: at least this factor — a deliberately conservative cover for that
-#: per-candidate overhead (the r5 cautionary bound: a mis-sized LSH at
-#: n=20k, θ=0.4 measured 608 s vs 19 s exact — SCALING.md dedup
-#: section).
-LSH_ROUTE_MARGIN = 4.0
+#: distinct, and a per-candidate cosine verify, where blocked-exact
+#: scores pairs inside one numpy matmul already resident in registers.
+#: LSH is only routed when its estimated candidate volume beats exact
+#: n²/2 by at least this factor. MEASURED, not guessed (r7): the
+#: original 4.0 still misrouted — at n=20k, θ=0.85 the router picked
+#: LSH and measured 16.2 s vs 1.3 s exact (12× wrong; exact's matmul
+#: cost is nearly θ-independent, the threshold is just a mask). Unit
+#: costs from that head-to-head: exact ≈ 208 ns/pair-score·core
+#: (1.3 s × 32 / 2·10⁸ pairs) vs LSH ≈ 22 µs/candidate·core
+#: (16.2 s × 32 / 2.3·10⁷ candidates) — a ~108× per-unit gap (the r5
+#: θ=0.4 misroute, 608 s vs 19 s, implies the same order). 128 covers
+#: both measurements and errs toward exact near the boundary, where a
+#: wrong exact pick costs a small constant factor but a wrong LSH pick
+#: measured 12-32×. At θ=0.85 the flip lands between n=500k and n=1M
+#: (candidates grow n·T, exact n²/2) — where the unit costs above say
+#: the true crossover is.
+LSH_ROUTE_MARGIN = 128.0
 
 
 def semantic_pairs_auto(
@@ -674,12 +683,16 @@ def semantic_pairs_auto(
        n(n−1)/2 — i.e. the prefilter is selective enough to pay for
        its explode + shuffle join + per-candidate verify.
 
-    Crossover (documented in SCALING.md): at θ=0.4 exact wins at every
-    n — below n≈33k the margin rule rejects LSH (T≈58 tables → more
-    candidates than n²/2), above it the T-cap fires — matching the r5
-    measurement; at θ=0.85 the LSH route engages around n ≳ 8k
-    (b=5, T=7 → candidate volume ~7·n·128 ≪ n²/2) and is the
-    designated 100 TB path. The chosen route is attached as ``_graft_route``
+    Crossover (measured — SCALING.md routing table): at θ=0.4 exact
+    wins at every n — below n≈33k the margin rule rejects LSH (T≈58
+    tables → more candidates than n²/2), above it the T-cap fires —
+    matching the r5 measurement (LSH 608 s vs exact 19 s at n=20k);
+    at θ=0.85 the margin rule holds exact through n=500k and flips to
+    LSH by n=1M, where candidate volume (n·T, ~22 µs/candidate
+    measured) finally undercuts the n²/2 matmul (~208 ns/pair
+    measured) — the r7 head-to-head at n=20k, θ=0.85 (LSH 16.2 s vs
+    exact 1.3 s) is what recalibrated :data:`LSH_ROUTE_MARGIN` from 4
+    to 128. The chosen route is attached as ``_graft_route``
     ("exact" | "lsh") for tests and audits; output schema is identical
     either way.
     """

@@ -250,7 +250,17 @@ def test_semantic_pairs_auto_routing(spark, sf_dir):
     # low-θ at large n: T-cap fires → exact even at n=10M
     capped = semantic_pairs_auto(emb, threshold=0.4, n_rows=10_000_000)
     assert capped._graft_route == "exact"
-    # high-θ, large corpus: LSH engages (b,T sized, uncapped, selective)
+    # high-θ at MODERATE n must also route exact — the r7 measured
+    # misroute: at n=20k, θ=0.85 LSH ran 16.2 s vs 1.3 s exact (the
+    # matmul's cost is θ-independent; LSH's per-candidate overhead is
+    # ~100× a matmul pair-score). LSH_ROUTE_MARGIN=128 encodes that.
+    mid = semantic_pairs_auto(emb, threshold=0.85, n_rows=20_000)
+    assert mid._graft_route == "exact"
+    mid500k = semantic_pairs_auto(emb, threshold=0.85, n_rows=500_000)
+    assert mid500k._graft_route == "exact"
+    # high-θ, large corpus: LSH engages (b,T sized, uncapped, and the
+    # n·T candidate volume finally undercuts n²/2 even at the measured
+    # ~100× per-candidate cost gap)
     lsh = semantic_pairs_auto(emb, threshold=0.85, n_rows=1_000_000)
     assert lsh._graft_route == "lsh"
     assert lsh.columns == ["id1", "id2", "sim"]
