@@ -369,7 +369,32 @@ def main() -> None:
             runs.append(time.time() - t0)
         return round(min(runs), 3)
 
+    def _canary_shuffle() -> float:
+        """Shuffle-heavy noise canary (VERDICT r7 next-round #2): the
+        constant-plan nation-count canary stayed flat through the r7
+        +12% headline move because its one-partition count never
+        touches the machinery that noise mode inflates (multi-core
+        shuffle write/fetch). This second canary is a FROZEN
+        repartition+agg over lineitem — one full shuffle of the fact
+        table across all local threads — so hypervisor modes that tax
+        cross-thread shuffle register here even when the trivial
+        canary is flat. The plan must never change round-over-round;
+        min-of-3, same discipline as queries."""
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+                "l_orderkey", "l_quantity"
+            ).repartition(32, "l_orderkey").groupBy(
+                (F.col("l_orderkey") % 997).alias("k")
+            ).agg(F.sum("l_quantity").alias("s")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
     canary_pre = _canary()
+    canary_shuffle_pre = _canary_shuffle()
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -412,6 +437,7 @@ def main() -> None:
     # readable) and to an EARLY stdout line; the FINAL line is the
     # compact contract shape and stays well under the buffer.
     canary_post = _canary()
+    canary_shuffle_post = _canary_shuffle()
 
     out = {
         "metric": "headline_queries_total",
@@ -424,6 +450,11 @@ def main() -> None:
         # if the canary moved with the headline, it's the machine
         "canary_pre": canary_pre,
         "canary_post": canary_post,
+        # frozen repartition+agg over lineitem: senses the multi-core
+        # shuffle noise mode the trivial canary is blind to (r7: flat
+        # trivial canary, +20-50% on shuffle-heavy queries)
+        "canary_shuffle_pre": canary_shuffle_pre,
+        "canary_shuffle_post": canary_shuffle_post,
         "median_total": round(sum(medians.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
@@ -445,10 +476,16 @@ def main() -> None:
         out["sf1_queries"] = sf1_timings
         detail["sf1_queries"] = sf1_timings
         detail["sf1_scaleup_vs_sf01"] = sf1_scale
-    out["detail"] = "BENCH_DETAIL_LOCAL.json"
+    # BENCH_DETAIL_LOCAL.json is the canonical sf0.1 record cited by
+    # SCALING.md; gate runs at other SFs go to an sf-tagged file so
+    # they can never clobber it (ADVICE r7: an sf0.01 gate run
+    # overwrote the sf0.1 detail and orphaned SCALING.md's citations)
+    detail_name = ("BENCH_DETAIL_LOCAL.json" if sf == "0.1"
+                   else f"BENCH_DETAIL_SF{sf}_LOCAL.json")
+    out["detail"] = detail_name
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_DETAIL_LOCAL.json"), "w") as fh:
+                               detail_name), "w") as fh:
             json.dump(detail, fh)
     except OSError:
         pass  # read-only checkout: the early stdout line still has it

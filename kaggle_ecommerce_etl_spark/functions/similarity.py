@@ -648,8 +648,9 @@ def lsh_neardup_pairs(
 #: both measurements and errs toward exact near the boundary, where a
 #: wrong exact pick costs a small constant factor but a wrong LSH pick
 #: measured 12-32×. At θ=0.85 the flip lands between n=500k and n=1M
-#: (candidates grow n·T, exact n²/2) — where the unit costs above say
-#: the true crossover is.
+#: (the router's candidate estimate grows n·T·target_bucket_rows/2
+#: ≈ n·T·128, exact n²/2) — where the unit costs above say the true
+#: crossover is.
 LSH_ROUTE_MARGIN = 128.0
 
 
@@ -688,9 +689,10 @@ def semantic_pairs_auto(
     tables → more candidates than n²/2), above it the T-cap fires —
     matching the r5 measurement (LSH 608 s vs exact 19 s at n=20k);
     at θ=0.85 the margin rule holds exact through n=500k and flips to
-    LSH by n=1M, where candidate volume (n·T, ~22 µs/candidate
-    measured) finally undercuts the n²/2 matmul (~208 ns/pair
-    measured) — the r7 head-to-head at n=20k, θ=0.85 (LSH 16.2 s vs
+    LSH by n=1M, where candidate volume (n·T·target_bucket_rows/2 ≈
+    n·T·128, ~22 µs/candidate measured) finally undercuts the n²/2
+    matmul (~208 ns/pair measured) — the r7 head-to-head at n=20k,
+    θ=0.85 (LSH 16.2 s vs
     exact 1.3 s) is what recalibrated :data:`LSH_ROUTE_MARGIN` from 4
     to 128. The chosen route is attached as ``_graft_route``
     ("exact" | "lsh") for tests and audits; output schema is identical

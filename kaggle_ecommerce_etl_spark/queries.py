@@ -1558,17 +1558,18 @@ WINDOW_ANCHORS = (
 #: keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
-    # r7 rotation (ROTATION_r07_PROPOSAL.txt, generated at r6 close by
-    # scripts/rotate_window.py; the r6 window went 50/50 green in
-    # CORRECTNESS_r06 so no red-row re-pooling was needed). 8 family
-    # anchors + 42 never-driver-green entries, oldest-added first.
-    # Never-green tail: 47 at r7 open -> ~5 if this window goes 50/50
-    # (those ~5 clear at r8). Includes the first driver-checkable
-    # rounds for ann_ivf_topk (hash-checked since the r6 pinned
-    # quantizer, functions/ivf_centroids.py) and jaccard_cross_gate
-    # (oracle entry added r6, queries_ext4.py). Every rotated-out
-    # query keeps local verification via scripts/check_oracle.py
-    # (ORACLE_LOCAL_r07.txt).
+    # r8 rotation (ROTATION_r08_PROPOSAL.txt, generated at r7 close;
+    # the r7 window went 50/50 green in CORRECTNESS_r07 so no red-row
+    # re-pooling was needed). Endgame allocation per VERDICT r7 #1/#3:
+    # 8 family anchors + the final 6 never-driver-green queries + 36
+    # RE-VERIFY slots double-stamping final code — 9 slots on paths
+    # changed in r7 (ensure_min_partitions 2x-threshold, corpus-cache
+    # auto-eviction, IVF stable argsort), then the heaviest paths
+    # (semantic_dedup_keep, corpus_pipeline, dup_clusters,
+    # conflict_split_flagged_aggjoin, pre-r7 streaming runs), then
+    # remaining load-bearing surfaces oldest-stamp-first. If this
+    # window goes 50/50, every oracle-backed registry query has been
+    # driver-verified at least once (never-green tail 6 -> 0).
     "pricing_summary",        # anchor
     "conflict_split_clean",        # anchor
     "pipeline_amazon_clean",        # anchor
@@ -1577,48 +1578,48 @@ DRIVER_WINDOW = (
     "dedup_exact_docs",        # anchor
     "cosine_topk",        # anchor
     "pack_sequences",        # anchor
-    "ann_ivf_topk",
-    "dedup_keep_richest",
-    "jsonl_quarantine",
-    "orc_roundtrip",
-    "medallion_stream_run",
-    "lateral_topk_orders",
-    "hll_distinct_gate",
-    "theta_union_gate",
-    "approx_quantile_gate",
-    "listagg_nations",
-    "text_roundtrip",
-    "streaming_session_run",
-    "topk_sketch_merge",
-    "theta_set_algebra",
-    "catalog_table_roundtrip",
-    "hll_union_gate",
-    "param_bind_filter",
-    "collation_dedup",
-    "equidepth_histogram",
-    "id_gap_islands",
-    "bitmap_distinct_customers",
-    "bitmap_union_distinct",
-    "interval_coverage",
-    "sql_udf_chunks",
-    "kll_quantile_gate",
-    "cms_frequency_gate",
-    "regr_fit_stats",
-    "xml_roundtrip",
-    "kv_parse",
-    "streaming_enrich_run",
-    "rolling_median",
-    "jaccard_cross_gate",
-    "bpe_pair_counts",
-    "bpe_tokenize_counts",
-    "source_quota_cap",
-    "ngram_novelty",
-    "streaming_drift_run",
-    "multimodal_chunk_reassemble",
-    "invisible_char_scrub",
-    "embedding_qc",
-    "token_coverage_curve",
-    "lang_confusion",
+    "metrics_transpose",  # never-green tail
+    "pipe_syntax_revenue",  # never-green tail
+    "script_profile",  # never-green tail
+    "semantic_dedup_auto",  # never-green tail
+    "stopword_coverage",  # never-green tail
+    "token_entropy_by_source",  # never-green tail
+    "minhash_signatures",  # re-verify (r7 changed path)
+    "simhash",  # re-verify (r7 changed path)
+    "lang_id",  # re-verify (r7 changed path)
+    "quality_score",  # re-verify (r7 changed path)
+    "embedding_nearest",  # re-verify (r7 changed path)
+    "embedding_neardup_pairs",  # re-verify (r7 changed path)
+    "embedding_neardup_lsh",  # re-verify (r7 changed path)
+    "incremental_neardup",  # re-verify (r7 changed path)
+    "semantic_dedup_keep",  # re-verify (heaviest)
+    "corpus_pipeline",  # re-verify (heaviest)
+    "dup_clusters",  # re-verify (heaviest)
+    "conflict_split_flagged_aggjoin",  # re-verify (heaviest)
+    "streaming_upsert_run",  # re-verify (heaviest)
+    "streaming_window_run",  # re-verify (heaviest)
+    "sessionize_dynamic_gap",  # re-verify
+    "word_jaccard_pairs",  # re-verify
+    "decontaminate",  # re-verify
+    "merge_upsert",  # re-verify
+    "cdc_apply",  # re-verify
+    "span_dedup",  # re-verify
+    "pack_materialize",  # re-verify
+    "mix_rebalance",  # re-verify
+    "interpolate_ts",  # re-verify
+    "udtf_repeat_runs",  # re-verify
+    "recursive_ancestors",  # re-verify
+    "heavy_hitters",  # re-verify
+    "arrow_group_mad",  # re-verify
+    "variant_shred",  # re-verify
+    "snapshot_diff",  # re-verify
+    "jdbc_partitioned_read",  # re-verify
+    "asof_join_broadcast",  # re-verify
+    "data_quality_report",  # re-verify
+    "tolerant_numeric",  # re-verify
+    "date_normalize",  # re-verify
+    "pipeline_international",  # re-verify
+    "pipeline_sale",  # re-verify
 )
 
 

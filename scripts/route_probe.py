@@ -5,13 +5,22 @@ derived replica corpus, prints which route the router picks and the
 measured cost of BOTH routes — the evidence that calibrated the
 margin (r7: 4 -> 128 after the n=20k, theta=0.85 misroute measured
 16.2 s LSH vs 1.3 s exact) and validated it at n=200k (exact wins
-2.88x; the 12.5x -> 2.88x gap narrowing is the n*T-vs-n^2/2 trend
-that puts the flip near n~1M).
+2.88x; the 12.5x -> 2.88x gap narrowing is the n*T*128-vs-n^2/2
+trend that puts the flip near n~1M).
+
+r8 hardening (ADVICE r7): the router is fed the exact n (same corpus
+size as both timed arms and the LSH sizing — previously it used the
+Catalyst sizeInBytes estimate, so a divergent estimate could make
+the RIGHT/WRONG verdict compare mismatched configurations; the
+estimate is still printed for drift monitoring), runs default to
+min-of-3 per the repo noise discipline, and the same constant-plan
+nation-count canary as bench.py brackets each timed arm so a noisy
+hypervisor window is visible in-band.
 
 Usage:
     python scripts/route_probe.py [replicas] [theta] [runs]
     python scripts/route_probe.py 10 0.85 3     # the calibration point
-    python scripts/route_probe.py 100 0.85 2    # the validation point
+    python scripts/route_probe.py 100 0.85 3    # the validation point
 """
 
 from __future__ import annotations
@@ -41,11 +50,32 @@ def main() -> None:
     n = emb.count()
     print(f"n_vectors={n} theta={theta} runs={n_runs}", flush=True)
 
-    chosen = getattr(S.semantic_pairs_auto(emb, theta), "_graft_route", None)
+    def canary() -> float:
+        """Constant-plan noise canary — same plan as bench.py's."""
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.read.parquet(f"{src}/nation.parquet").groupBy().count(
+            ).write.format("noop").mode("overwrite").save()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
+    # feed the router the EXACT n so the verdict below compares the
+    # same corpus size the timed arms and the (b, T) sizing use; print
+    # the Catalyst estimate alongside so estimate drift stays visible
+    est = S._estimated_rows(emb, "embedding", 64)
+    chosen = getattr(
+        S.semantic_pairs_auto(emb, theta, n_rows=n), "_graft_route", None
+    )
     b, t = S.lsh_auto_params(n, theta)
-    print(f"route chosen: {chosen} (lsh would size b={b} T={t})", flush=True)
+    print(
+        f"route chosen: {chosen} (lsh would size b={b} T={t}; "
+        f"catalyst row estimate={est} vs exact n={n})",
+        flush=True,
+    )
 
     def timeit(make, label):
+        c_pre = canary()
         ts = []
         for _ in range(n_runs):
             S.release_corpus_caches()
@@ -54,7 +84,12 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             ts.append(round(time.time() - t0, 2))
         S.release_corpus_caches()
-        print(f"{label}: min={min(ts)} runs={ts}", flush=True)
+        c_post = canary()
+        print(
+            f"{label}: min={min(ts)} runs={ts} "
+            f"canary_pre={c_pre} canary_post={c_post}",
+            flush=True,
+        )
         return min(ts)
 
     t_exact = timeit(lambda: S.cosine_pairs_above(emb, theta), "exact")

@@ -247,22 +247,29 @@ def test_semantic_pairs_auto_routing(spark, sf_dir):
     pairs = semantic_pairs_auto(emb, threshold=0.4)
     assert pairs._graft_route == "exact"
     assert pairs.columns == ["id1", "id2", "sim"]
-    # low-θ at large n: T-cap fires → exact even at n=10M
-    capped = semantic_pairs_auto(emb, threshold=0.4, n_rows=10_000_000)
-    assert capped._graft_route == "exact"
+    # low-θ: exact at ALL n (T-cap wall — as θ→0 the LSH exponent
+    # ρ→1, so the recall target needs T>max_tables at any useful n;
+    # below the cap boundary the margin rule rejects LSH anyway)
+    for n_low in (500, 20_000, 200_000, 2_000_000, 10_000_000):
+        capped = semantic_pairs_auto(emb, threshold=0.4, n_rows=n_low)
+        assert capped._graft_route == "exact", f"θ=0.4 n={n_low}"
     # high-θ at MODERATE n must also route exact — the r7 measured
     # misroute: at n=20k, θ=0.85 LSH ran 16.2 s vs 1.3 s exact (the
     # matmul's cost is θ-independent; LSH's per-candidate overhead is
-    # ~100× a matmul pair-score). LSH_ROUTE_MARGIN=128 encodes that.
-    mid = semantic_pairs_auto(emb, threshold=0.85, n_rows=20_000)
-    assert mid._graft_route == "exact"
-    mid500k = semantic_pairs_auto(emb, threshold=0.85, n_rows=500_000)
-    assert mid500k._graft_route == "exact"
+    # ~100× a matmul pair-score). LSH_ROUTE_MARGIN=128 encodes that;
+    # this grid IS the crossover pin (VERDICT r7 #4) — editing the
+    # margin or the n·T·target_bucket_rows/2 candidate-volume formula
+    # without re-deriving the measured crossovers fails here.
+    for n_mid in (500, 20_000, 200_000, 500_000):
+        mid = semantic_pairs_auto(emb, threshold=0.85, n_rows=n_mid)
+        assert mid._graft_route == "exact", f"θ=0.85 n={n_mid}"
     # high-θ, large corpus: LSH engages (b,T sized, uncapped, and the
-    # n·T candidate volume finally undercuts n²/2 even at the measured
-    # ~100× per-candidate cost gap)
+    # n·T·128 candidate volume finally undercuts n²/2 even at the
+    # measured ~100× per-candidate cost gap); 2M doubly inside
     lsh = semantic_pairs_auto(emb, threshold=0.85, n_rows=1_000_000)
     assert lsh._graft_route == "lsh"
+    lsh2m = semantic_pairs_auto(emb, threshold=0.85, n_rows=2_000_000)
+    assert lsh2m._graft_route == "lsh"
     assert lsh.columns == ["id1", "id2", "sim"]
     # the LSH plan is still runnable on the small corpus it was
     # (deliberately mis-)sized for — recall is the only trade
