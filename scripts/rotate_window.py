@@ -7,8 +7,13 @@ family anchors (queries.WINDOW_ANCHORS — the same source of truth the
 window-invariants test asserts), excludes the CURRENT window (its
 entries get checked this round), and fills the remaining slots with
 the oldest-added oracle-bearing queries that have never earned a
-driver-green row. Prints a ready-to-paste python tuple; the human
-still reviews it.
+driver-green row. Once the never-green tail is exhausted (the r8
+endgame), remaining slots re-verify OLDEST-DRIVER-STAMP-FIRST: each
+query's most recent green round is tracked, the current window counts
+as about-to-be-stamped this round, and the stalest stamps get the
+slots — so driver coverage ages uniformly instead of by registry
+insertion order (VERDICT r7 next-round #6). Prints a ready-to-paste
+python tuple; the human still reviews it.
 
 Usage: python scripts/rotate_window.py
 """
@@ -18,6 +23,7 @@ from __future__ import annotations
 import glob
 import json
 import os
+import re
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -42,20 +48,29 @@ def _green(row: dict) -> bool:
 
 def main() -> None:
     checked: set[str] = set()
+    last_green: dict[str, int] = {}  # query -> newest driver-green round
     latest: dict = {}
+    cur_round = 0
     for f in sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))):
+        rnum = int(re.search(r"CORRECTNESS_r(\d+)", f).group(1))
+        cur_round = max(cur_round, rnum)
         latest = json.load(open(f))
         for name, row in latest.items():
             if _green(row):
                 checked.add(name)
+                last_green[name] = max(last_green.get(name, 0), rnum)
     # If the newest CORRECTNESS file already covers the current window,
     # that window has been adjudicated — its RED rows (e.g. the r5
     # embedding_quantize comparator crash) must re-enter the pool so
     # the fix gets a fresh driver slot. Only when the window has NOT
     # been checked yet (mid-round regeneration) do we exclude it
-    # wholesale, or the same entries get re-proposed forever.
+    # wholesale, or the same entries get re-proposed forever; those
+    # entries also count as about-to-be-stamped THIS round for the
+    # oldest-stamp backfill ordering below.
     if not set(DRIVER_WINDOW) <= set(latest):
         checked |= set(DRIVER_WINDOW)
+        for n in DRIVER_WINDOW:
+            last_green[n] = cur_round + 1
     anchors = list(WINDOW_ANCHORS)
     never = [
         n
@@ -65,14 +80,23 @@ def main() -> None:
     ]
     slots = 50 - len(anchors)
     window = anchors + never[:slots]
-    if len(window) < 50:  # tail exhausted: backfill with oldest checked
-        pool = [n for n in REGISTRY
-                if n not in window and REGISTRY[n][1] is not None]
+    if len(window) < 50:  # tail exhausted: backfill oldest-stamp-first
+        order = {n: i for i, n in enumerate(REGISTRY)}
+        pool = sorted(
+            (n for n in REGISTRY
+             if n not in window and REGISTRY[n][1] is not None),
+            key=lambda n: (last_green.get(n, 0), order[n]),
+        )
         window += pool[: 50 - len(window)]
     print(f"# {len(never)} never-green remain; proposing {len(window)} slots")
     print("DRIVER_WINDOW = (")
     for n in window:
-        mark = "  # anchor" if n in anchors else ""
+        if n in anchors:
+            mark = "  # anchor"
+        elif n in never:
+            mark = "  # never-green tail"
+        else:
+            mark = f"  # re-verify (last driver stamp r{last_green.get(n, 0)})"
         print(f'    "{n}",{mark}')
     print(")")
     unchanged = [n for n in window if n in DRIVER_WINDOW]
