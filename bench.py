@@ -303,6 +303,16 @@ def _build_sf1(spark, src_dir: str) -> str:
     return dst
 
 
+def detail_filename(sf: str) -> str:
+    """BENCH_DETAIL_LOCAL.json is the canonical sf0.1 record cited by
+    SCALING.md; gate runs at other SFs go to an sf-tagged file so they
+    can never clobber it (ADVICE r7: an sf0.01 gate run overwrote the
+    sf0.1 detail and orphaned SCALING.md's citations). Pinned by
+    tests/test_entry.py::test_bench_detail_filename."""
+    return ("BENCH_DETAIL_LOCAL.json" if sf == "0.1"
+            else f"BENCH_DETAIL_SF{sf}_LOCAL.json")
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -476,12 +486,7 @@ def main() -> None:
         out["sf1_queries"] = sf1_timings
         detail["sf1_queries"] = sf1_timings
         detail["sf1_scaleup_vs_sf01"] = sf1_scale
-    # BENCH_DETAIL_LOCAL.json is the canonical sf0.1 record cited by
-    # SCALING.md; gate runs at other SFs go to an sf-tagged file so
-    # they can never clobber it (ADVICE r7: an sf0.01 gate run
-    # overwrote the sf0.1 detail and orphaned SCALING.md's citations)
-    detail_name = ("BENCH_DETAIL_LOCAL.json" if sf == "0.1"
-                   else f"BENCH_DETAIL_SF{sf}_LOCAL.json")
+    detail_name = detail_filename(sf)
     out["detail"] = detail_name
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),

@@ -75,13 +75,37 @@ def main() -> None:
             runs.append(time.time() - t0)
         return round(min(runs), 3)
 
+    def _canary_shuffle() -> float:
+        """Shuffle-heavy host-noise reference (same FROZEN plan as
+        bench.py's second canary: repartition(32)+agg over the SOURCE
+        lineitem, min-of-3) — the r7 driver round showed the trivial
+        canary is blind to noise modes that tax multi-core shuffle;
+        the curve's heavy queries are exactly that shape, so each
+        point records both canaries."""
+        from pyspark.sql import functions as F
+
+        runs = []
+        for _ in range(3):
+            t0 = time.time()
+            spark.read.parquet(f"{src}/lineitem.parquet").select(
+                "l_orderkey", "l_quantity"
+            ).repartition(32, "l_orderkey").groupBy(
+                (F.col("l_orderkey") % 997).alias("k")
+            ).agg(F.sum("l_quantity").alias("s")).write.format(
+                "noop"
+            ).mode("overwrite").save()
+            runs.append(time.time() - t0)
+        return round(min(runs), 3)
+
     points: dict[str, dict[str, float]] = {}
     run_detail: dict[str, dict[str, list[float]]] = {}
     canaries: dict[str, float] = {}
+    shuffle_canaries: dict[str, float] = {}
     for r in replicas:
         bench.SF1_REPLICAS = r  # tag includes r — each multiple caches apart
         run_dir = bench._build_sf1(spark, src)
         canaries[str(r)] = _canary()
+        shuffle_canaries[str(r)] = _canary_shuffle()
         timings: dict[str, float] = {}
         detail: dict[str, list[float]] = {}
         for name in names:
@@ -99,7 +123,9 @@ def main() -> None:
         run_detail[str(r)] = detail
 
     out: dict = {"points": points, "unit": "sec", "agg": f"min-of-{n_runs}",
-                 "canary_per_point": canaries, "run_detail": run_detail}
+                 "canary_per_point": canaries,
+                 "shuffle_canary_per_point": shuffle_canaries,
+                 "run_detail": run_detail}
     if len(replicas) >= 2:
         lo, hi = str(replicas[0]), str(replicas[-1])
         out[f"ratio_{hi}_over_{lo}"] = {

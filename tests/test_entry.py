@@ -68,3 +68,16 @@ def test_driver_window_invariants():
     for name in DRIVER_WINDOW:
         _fn, oracle = REGISTRY[name]
         assert oracle is not None, name
+
+
+def test_bench_detail_filename():
+    """Gate runs at non-headline SFs must never clobber the canonical
+    sf0.1 bench detail SCALING.md cites (the ADVICE r7 medium: an
+    sf0.01 run overwrote BENCH_DETAIL_LOCAL.json and orphaned the
+    cited numbers)."""
+    import bench
+
+    assert bench.detail_filename("0.1") == "BENCH_DETAIL_LOCAL.json"
+    assert bench.detail_filename("0.01") == "BENCH_DETAIL_SF0.01_LOCAL.json"
+    assert bench.detail_filename("0.001") == "BENCH_DETAIL_SF0.001_LOCAL.json"
+    assert bench.detail_filename("1") != "BENCH_DETAIL_LOCAL.json"
