@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import sys
 
 sys.path.insert(0, "/root/repo")
@@ -68,6 +69,25 @@ def test_driver_window_invariants():
     for name in DRIVER_WINDOW:
         _fn, oracle = REGISTRY[name]
         assert oracle is not None, name
+
+
+def test_queries_catalog_consistency():
+    """QUERIES.md must stay in sync with the registry: one table row
+    per registry entry, the first 50 rows in DRIVER_WINDOW order.
+    (Only the structural parts are pinned — the stamp-distribution
+    header legitimately changes when the driver lands a new
+    CORRECTNESS file, and is regenerated each round.)"""
+    import re
+
+    from kaggle_ecommerce_etl_spark.queries import DRIVER_WINDOW, REGISTRY
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "QUERIES.md")
+    rows = re.findall(r"^\| \d+ \| `([a-z0-9_]+)` \|", open(path).read(),
+                      re.MULTILINE)
+    assert len(rows) == len(REGISTRY), "QUERIES.md stale: row count"
+    assert rows[:50] == list(DRIVER_WINDOW), "QUERIES.md stale: window"
+    assert set(rows) == set(REGISTRY), "QUERIES.md stale: names"
 
 
 def test_bench_detail_filename():
