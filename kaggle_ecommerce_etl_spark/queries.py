@@ -1558,68 +1558,70 @@ WINDOW_ANCHORS = (
 #: keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
-    # r8 rotation (ROTATION_r08_PROPOSAL.txt, generated at r7 close;
-    # the r7 window went 50/50 green in CORRECTNESS_r07 so no red-row
-    # re-pooling was needed). Endgame allocation per VERDICT r7 #1/#3:
-    # 8 family anchors + the final 6 never-driver-green queries + 36
-    # RE-VERIFY slots double-stamping final code — 9 slots on paths
-    # changed in r7 (ensure_min_partitions 2x-threshold, corpus-cache
-    # auto-eviction, IVF stable argsort), then the heaviest paths
-    # (semantic_dedup_keep, corpus_pipeline, dup_clusters,
-    # conflict_split_flagged_aggjoin, pre-r7 streaming runs), then
-    # remaining load-bearing surfaces oldest-stamp-first. If this
-    # window goes 50/50, every oracle-backed registry query has been
-    # driver-verified at least once (never-green tail 6 -> 0).
-    "pricing_summary",        # anchor
-    "conflict_split_clean",        # anchor
-    "pipeline_amazon_clean",        # anchor
-    "csv_roundtrip",        # anchor
-    "events_tumbling",        # anchor
-    "dedup_exact_docs",        # anchor
-    "cosine_topk",        # anchor
-    "pack_sequences",        # anchor
-    "metrics_transpose",  # never-green tail
-    "pipe_syntax_revenue",  # never-green tail
-    "script_profile",  # never-green tail
-    "semantic_dedup_auto",  # never-green tail
-    "stopword_coverage",  # never-green tail
-    "token_entropy_by_source",  # never-green tail
-    "minhash_signatures",  # re-verify (r7 changed path)
-    "simhash",  # re-verify (r7 changed path)
-    "lang_id",  # re-verify (r7 changed path)
-    "quality_score",  # re-verify (r7 changed path)
-    "embedding_nearest",  # re-verify (r7 changed path)
-    "embedding_neardup_pairs",  # re-verify (r7 changed path)
-    "embedding_neardup_lsh",  # re-verify (r7 changed path)
-    "incremental_neardup",  # re-verify (r7 changed path)
-    "semantic_dedup_keep",  # re-verify (heaviest)
-    "corpus_pipeline",  # re-verify (heaviest)
-    "dup_clusters",  # re-verify (heaviest)
-    "conflict_split_flagged_aggjoin",  # re-verify (heaviest)
-    "streaming_upsert_run",  # re-verify (heaviest)
-    "streaming_window_run",  # re-verify (heaviest)
-    "sessionize_dynamic_gap",  # re-verify
-    "word_jaccard_pairs",  # re-verify
-    "decontaminate",  # re-verify
-    "merge_upsert",  # re-verify
-    "cdc_apply",  # re-verify
-    "span_dedup",  # re-verify
-    "pack_materialize",  # re-verify
-    "mix_rebalance",  # re-verify
-    "interpolate_ts",  # re-verify
-    "udtf_repeat_runs",  # re-verify
-    "recursive_ancestors",  # re-verify
-    "heavy_hitters",  # re-verify
-    "arrow_group_mad",  # re-verify
-    "variant_shred",  # re-verify
-    "snapshot_diff",  # re-verify
-    "jdbc_partitioned_read",  # re-verify
-    "asof_join_broadcast",  # re-verify
-    "data_quality_report",  # re-verify
-    "tolerant_numeric",  # re-verify
-    "date_normalize",  # re-verify
-    "pipeline_international",  # re-verify
-    "pipeline_sale",  # re-verify
+    # r9 rotation (ROTATION_r09_PROPOSAL.txt, generated at r8 close;
+    # the r8 window went 50/50 green in CORRECTNESS_r08 so no red-row
+    # re-pooling was needed). The never-driver-green tail closed at r8
+    # (0 remain; 215/215 oracle-backed queries have >=1 driver-green
+    # row), so from this round rotation is pure OLDEST-STAMP-FIRST
+    # re-verification: 8 family anchors + 42 slots re-stamping the
+    # r2-r4 relational/normalize/streaming core, the stalest driver
+    # evidence in the repo (none of it re-stamped since the registry
+    # tripled in size around it). Oldest stamp advances r2 -> >=r5.
+    "pricing_summary",  # anchor
+    "conflict_split_clean",  # anchor
+    "pipeline_amazon_clean",  # anchor
+    "csv_roundtrip",  # anchor
+    "events_tumbling",  # anchor
+    "dedup_exact_docs",  # anchor
+    "cosine_topk",  # anchor
+    "pack_sequences",  # anchor
+    "revenue_filter",  # re-verify (last driver stamp r2)
+    "sales_cube",  # re-verify (last driver stamp r2)
+    "parts_above_avg",  # re-verify (last driver stamp r2)
+    "running_total",  # re-verify (last driver stamp r2)
+    "top_unshipped",  # re-verify (last driver stamp r2)
+    "big_orders",  # re-verify (last driver stamp r2)
+    "supplier_anti_join",  # re-verify (last driver stamp r2)
+    "distinct_projection",  # re-verify (last driver stamp r2)
+    "pivot_status",  # re-verify (last driver stamp r2)
+    "set_ops_customers",  # re-verify (last driver stamp r2)
+    "count_distinct",  # re-verify (last driver stamp r2)
+    "string_funcs",  # re-verify (last driver stamp r2)
+    "date_arithmetic",  # re-verify (last driver stamp r2)
+    "revenue_by_nation",  # re-verify (last driver stamp r3)
+    "topk_per_group",  # re-verify (last driver stamp r3)
+    "conflict_split_flagged",  # re-verify (last driver stamp r3)
+    "month_prefix",  # re-verify (last driver stamp r3)
+    "pipeline_amazon_flagged",  # re-verify (last driver stamp r3)
+    "categorical_profile",  # re-verify (last driver stamp r3)
+    "events_sessionize",  # re-verify (last driver stamp r3)
+    "events_json_extract",  # re-verify (last driver stamp r3)
+    "events_sliding",  # re-verify (last driver stamp r3)
+    "doc_fingerprint",  # re-verify (last driver stamp r3)
+    "token_count",  # re-verify (last driver stamp r3)
+    "lsh_candidate_pairs",  # re-verify (last driver stamp r3)
+    "letters_predicate",  # re-verify (last driver stamp r3)
+    "streaming_dedup_run",  # re-verify (last driver stamp r3)
+    "streaming_sessionize_run",  # re-verify (last driver stamp r3)
+    "asof_join_orders",  # re-verify (last driver stamp r3)
+    "dedup_full_rows",  # re-verify (last driver stamp r4)
+    "colname_normalize",  # re-verify (last driver stamp r4)
+    "align_columns",  # re-verify (last driver stamp r4)
+    "na_canonicalize",  # re-verify (last driver stamp r4)
+    "month_datetime",  # re-verify (last driver stamp r4)
+    "text_standardize",  # re-verify (last driver stamp r4)
+    "mostly_null_filter",  # re-verify (last driver stamp r4)
+    "critical_dropna",  # re-verify (last driver stamp r4)
+    "null_counts",  # re-verify (last driver stamp r4)
+    "parse_gate",  # re-verify (last driver stamp r4)
+    "drop_allnull_cols",  # re-verify (last driver stamp r4)
+    # VERDICT r8 #6: similarity.py changed this round (route-flip drift
+    # guard + capped-T recall-floor disambiguation), so the two
+    # semantic queries take the final two re-verify slots over the two
+    # newest-stamped proposal entries (upsert_roundtrip,
+    # incremental_read — both r4-stamped, re-pooled for r10).
+    "semantic_dedup_auto",  # re-verify (r9 changed path: router)
+    "semantic_dedup_keep",  # re-verify (r9 changed path: router)
 )
 
 
