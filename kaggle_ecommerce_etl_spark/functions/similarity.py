@@ -558,11 +558,15 @@ def lsh_auto_params(
     need = math.log(1.0 / (1.0 - recall_target))
     t = max(1, math.ceil(need / max(p1**b, 1e-300)))
     if t > max_tables:
+        achieved = 1.0 - (1.0 - p1**b) ** max_tables
         logging.getLogger("spark_graft").warning(
             "lsh_auto_params: recall %.2f at threshold %.2f needs %d "
-            "tables at b=%d (capped to %d) — below the LSH-efficient "
-            "wall; route to cosine_pairs_above (blocked exact) instead.",
-            recall_target, threshold, t, b, max_tables,
+            "tables at b=%d (capped to %d, achieved recall %.3f) — the "
+            "router treats the cap as the low-θ wall (→ blocked exact) "
+            "only when the capped recall collapses; a high-θ/huge-n cap "
+            "with tolerable recall routes LSH best-effort instead of an "
+            "infeasible n²/2 scan.",
+            recall_target, threshold, t, b, max_tables, achieved,
         )
         t = max_tables
     return b, t
@@ -653,6 +657,76 @@ def lsh_neardup_pairs(
 #: crossover is.
 LSH_ROUTE_MARGIN = 128.0
 
+#: Estimate-drift guard around the exact-vs-LSH flip. The router's
+#: input is Catalyst's sizeInBytes row estimate, which ROUTE_PROBE_r08
+#: measured reading ~2.1× UNDER true n at both n=20k and n=200k on
+#: this layout. Under-reads bias the margin rule toward exact — the
+#: cheap-to-be-wrong side (a wrong exact pick near the flip costs a
+#: small constant factor; a wrong LSH pick measured 12–32×) — but at
+#: true n≈2M a 2.1× under-read lands right AT the ~1M flip, and any
+#: layout/Spark-version change that widens the drift past the margin's
+#: slack would hold exact into the regime where LSH wins 5×+. So when
+#: the ESTIMATED decision lands within this factor of the boundary
+#: (|log-ratio| ≤ log 4 between exact_pairs and margin-scaled LSH
+#: candidate volume), the router pays ONE exact ``count()`` and
+#: re-decides with the true n. At the n≥500k scales where the band can
+#: be entered at all, a count() is noise against either route (both
+#: are minutes-scale there; the count is a column-pruned scan). 4.0 =
+#: measured 2.1× drift × ~2 safety; the calibration observation is
+#: pinned in tests/test_similarity_blocked.py alongside the crossover
+#: grid.
+LSH_ROUTE_DRIFT_GUARD = 4.0
+
+#: When the T-cap fires, the fraction of ``recall_target`` that capped-T
+#: LSH must still achieve for the router to treat the cap as a recall
+#:  TRADE rather than the low-θ wall. Two capped regimes exist and they
+#: demand opposite routes:
+#:
+#: - **Low-θ wall** (the r5 lesson): sign-LSH's exponent ρ→1 as θ→0, so
+#:   at θ=0.4, n=10M the capped 64 tables achieve ~4% recall — LSH is a
+#:   lottery, not a prefilter. Route EXACT (blocked matmul), as before.
+#: - **High-θ, huge-n cap**: at θ=0.85 the cap first fires near
+#:   n≈34M (b=18 needs 77 tables), where capped-T recall is still
+#:   ~0.80–0.86 — a modest, loggable trade — while "exact" means
+#:   n²/2 ≈ 5.6×10¹⁴ pair-scores: ~10⁵ core-hours at the measured
+#:   208 ns/pair, infeasible on any cluster. Routing exact here is the
+#:   real scale bug; route LSH best-effort (capped T, recall logged).
+#:
+#: 0.75 separates them with headroom on both sides: θ=0.85 caps enter
+#: at achieved/target ≈ 0.95 and stay above 0.75 through n≈10⁹, while
+#: every low-θ wall case measured or derivable sits below 0.2.
+LSH_CAPPED_RECALL_FLOOR = 0.75
+
+
+def _route_inputs(
+    n_rows: int,
+    threshold: float,
+    target_bucket_rows: int,
+    recall_target: float,
+    max_tables: int,
+) -> tuple[int, int, bool, float, float, float]:
+    """(b, t, capped, capped_recall, exact_pairs, lsh_candidates) for
+    one candidate corpus size — the pure decision arithmetic of
+    :func:`semantic_pairs_auto`, factored out so the drift guard can
+    re-run it with a true ``count()`` without duplicating the formula
+    the crossover test pins. ``capped_recall`` is the recall the capped
+    table count actually achieves (1 when uncapped — the sizing met the
+    target by construction)."""
+    b, t = lsh_auto_params(
+        n_rows,
+        threshold,
+        target_bucket_rows=target_bucket_rows,
+        recall_target=recall_target,
+        max_tables=max_tables,
+    )
+    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
+    need = math.log(1.0 / (1.0 - recall_target))
+    capped = math.ceil(need / max(p1**b, 1e-300)) > max_tables
+    capped_recall = 1.0 - (1.0 - p1**b) ** t if capped else 1.0
+    exact_pairs = n_rows * (n_rows - 1) / 2.0
+    lsh_candidates = t * n_rows * target_bucket_rows / 2.0
+    return b, t, capped, capped_recall, exact_pairs, lsh_candidates
+
 
 def semantic_pairs_auto(
     df: DataFrame,
@@ -670,13 +744,23 @@ def semantic_pairs_auto(
     front end over :func:`cosine_pairs_above` (exact, O(n²) blocked
     matmul) and :func:`lsh_neardup_pairs` (recall-trading prefilter).
 
-    Routing rule (no full scan — the same Catalyst sizeInBytes row
-    estimate as the blocked-matmul grid):
+    Routing rule (the same Catalyst sizeInBytes row estimate as the
+    blocked-matmul grid; no full scan EXCEPT within
+    :data:`LSH_ROUTE_DRIFT_GUARD` of the flip boundary, where the
+    measured ~2.1× estimate drift could cross the line and one exact
+    ``count()`` — noise against either route at flip-scale n —
+    re-decides with the true n):
 
     1. Size (b, T) for the corpus via :func:`lsh_auto_params`'
-       occupancy model. If the recall target needs T > max_tables
-       (low-θ wall: the LSH exponent ρ→1 as θ→0), LSH cannot be both
-       selective and high-recall — route EXACT.
+       occupancy model. If the recall target needs T > max_tables AND
+       the capped-T recall collapses below
+       :data:`LSH_CAPPED_RECALL_FLOOR`×target (low-θ wall: the LSH
+       exponent ρ→1 as θ→0), LSH cannot be both selective and
+       high-recall — route EXACT. A cap whose capped-T recall still
+       clears the floor (high-θ, huge-n: first at θ=0.85 near n≈34M,
+       recall ~0.86) is a recall TRADE, not a wall — exact there is an
+       infeasible n²/2 scan, so fall through to the margin rule with
+       the capped T.
     2. Estimated LSH candidate volume ≈ T·n·target_bucket_rows/2
        (each table's buckets hold ~target rows → ~n·target/2
        candidate pairs per table). Route LSH only when that volume
@@ -698,21 +782,49 @@ def semantic_pairs_auto(
     ("exact" | "lsh") for tests and audits; output schema is identical
     either way.
     """
-    if n_rows is None:
+    estimated = n_rows is None
+    if estimated:
         n_rows = _estimated_rows(df, vec_col, dim)
-    b, t = lsh_auto_params(
-        n_rows,
-        threshold,
-        target_bucket_rows=target_bucket_rows,
-        recall_target=recall_target,
-        max_tables=max_tables,
+    b, t, capped, capped_recall, exact_pairs, lsh_candidates = (
+        _route_inputs(
+            n_rows, threshold, target_bucket_rows, recall_target,
+            max_tables,
+        )
     )
-    p1 = 1.0 - math.acos(min(max(threshold, -1.0), 1.0)) / math.pi
-    need = math.log(1.0 / (1.0 - recall_target))
-    capped = math.ceil(need / max(p1**b, 1e-300)) > max_tables
-    exact_pairs = n_rows * (n_rows - 1) / 2.0
-    lsh_candidates = t * n_rows * target_bucket_rows / 2.0
-    if capped or lsh_candidates * LSH_ROUTE_MARGIN >= exact_pairs:
+    # Drift guard (ROUTE_PROBE_r08): the sizeInBytes estimate reads
+    # ~2.1× under true n on this layout. When the estimated decision
+    # lands within LSH_ROUTE_DRIFT_GUARD (4×) of the flip boundary —
+    # on either side — resolve it with one exact count() and re-decide.
+    # Only fires for estimated n (an explicit n_rows is the caller's
+    # contract, e.g. the crossover-grid test) and never below the
+    # guard's floor n, where exact is sub-second anyway and the flip
+    # is unreachable.
+    # exact_pairs ∝ n², lsh_candidates ∝ n·T (T near-constant in n), so
+    # the decision ratio exact_pairs/margin_cost shifts ~linearly with
+    # an n drift — a ±4× n guard is a ratio band of [1/4, 4].
+    margin_cost = lsh_candidates * LSH_ROUTE_MARGIN
+    if (
+        estimated
+        and margin_cost > 0
+        and exact_pairs / LSH_ROUTE_DRIFT_GUARD
+        <= margin_cost
+        <= exact_pairs * LSH_ROUTE_DRIFT_GUARD
+    ):
+        n_rows = max(1, df.count())
+        b, t, capped, capped_recall, exact_pairs, lsh_candidates = (
+            _route_inputs(
+                n_rows, threshold, target_bucket_rows, recall_target,
+                max_tables,
+            )
+        )
+    # Cap disambiguation (LSH_CAPPED_RECALL_FLOOR): a cap with
+    # collapsed recall is the low-θ wall → exact; a cap whose capped-T
+    # recall still clears the floor is the high-θ/huge-n regime where
+    # exact is n²/2-infeasible → fall through to the margin rule with
+    # the capped T (and the recall trade already logged by
+    # lsh_auto_params).
+    wall = capped and capped_recall < LSH_CAPPED_RECALL_FLOOR * recall_target
+    if wall or lsh_candidates * LSH_ROUTE_MARGIN >= exact_pairs:
         out = cosine_pairs_above(
             df, threshold, id_col=id_col, vec_col=vec_col
         )

@@ -270,8 +270,92 @@ def test_semantic_pairs_auto_routing(spark, sf_dir):
     assert lsh._graft_route == "lsh"
     lsh2m = semantic_pairs_auto(emb, threshold=0.85, n_rows=2_000_000)
     assert lsh2m._graft_route == "lsh"
+    # T-cap disambiguation (r9): at θ=0.85 the cap first fires near
+    # n≈34M (b=18 needs 77 > 64 tables) but capped-T recall is still
+    # ~0.80-0.86 — a recall TRADE, not the low-θ wall. Exact there is
+    # n²/2 ≈ 5.6e14 pair-scores (~10⁵ core-hours at the measured
+    # 208 ns/pair) — infeasible at any cluster size — so the router
+    # must stay LSH (best-effort, trade logged). The θ=0.4 grid above
+    # pins the opposite case: capped recall ~4% = wall → exact.
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        LSH_CAPPED_RECALL_FLOOR,
+        _route_inputs,
+    )
+
+    for n_huge in (40_000_000, 100_000_000):
+        _, _, capped, rec, _, _ = _route_inputs(n_huge, 0.85, 256, 0.9, 64)
+        assert capped and rec >= LSH_CAPPED_RECALL_FLOOR * 0.9, n_huge
+        huge = semantic_pairs_auto(emb, threshold=0.85, n_rows=n_huge)
+        assert huge._graft_route == "lsh", f"θ=0.85 n={n_huge}"
+    _, _, capped_low, rec_low, _, _ = _route_inputs(
+        10_000_000, 0.4, 256, 0.9, 64
+    )
+    assert capped_low and rec_low < LSH_CAPPED_RECALL_FLOOR * 0.9
     assert lsh.columns == ["id1", "id2", "sim"]
     # the LSH plan is still runnable on the small corpus it was
     # (deliberately mis-)sized for — recall is the only trade
     assert lsh.count() >= 0
+    release_corpus_caches()
+
+
+def test_semantic_router_drift_guard(spark, sf_dir):
+    """Estimate-drift guard near the route flip (VERDICT r8 watch-item
+    1 / next-round #2). Calibration fact this pins: ROUTE_PROBE_r08
+    measured the Catalyst sizeInBytes row estimate at ~2.1× UNDER true
+    n at both n=20k and n=200k — safe today (under-reads bias toward
+    exact, the cheap-to-be-wrong side) but one layout change away from
+    holding exact past the ~1M flip where LSH wins 5×+. The router
+    must therefore resolve any ESTIMATED decision landing within
+    LSH_ROUTE_DRIFT_GUARD (4×, ~2× headroom over the measured drift)
+    of the boundary with one true count().
+
+    The guard's trigger arithmetic is tested directly on
+    ``_route_inputs`` (pure), and its behavioral contract on the real
+    corpus: estimated-n routing on sf0.01 (500 vectors, decision ratio
+    orders of magnitude from the flip) must NOT pay a count — pinned
+    by the route still being computed from the (deliberately wrong)
+    size-based estimate — while an explicit n_rows must NEVER trigger
+    the count (the crossover grid above passes n up to 10M on a
+    500-row frame and would break otherwise)."""
+    from kaggle_ecommerce_etl_spark.functions.similarity import (
+        LSH_ROUTE_DRIFT_GUARD,
+        LSH_ROUTE_MARGIN,
+        _route_inputs,
+        release_corpus_caches,
+        semantic_pairs_auto,
+    )
+
+    assert LSH_ROUTE_DRIFT_GUARD == 4.0  # measured 2.1× drift × ~2 safety
+
+    def ratio(n):
+        _, _, capped, _, exact_pairs, lsh_candidates = _route_inputs(
+            n, 0.85, 256, 0.9, 64
+        )
+        return capped, exact_pairs / (lsh_candidates * LSH_ROUTE_MARGIN)
+
+    # The θ=0.85 flip sits between 500k and 1M (crossover grid above;
+    # ratio=1 crosses between 700k and 800k). The guard band [1/4, 4]
+    # must cover the measured 2.1× drift on BOTH sides of the flip: a
+    # 2.1× under-read of a true-n=2M corpus reads ~950k — inside the
+    # band → count() fires → true n re-routes. Outside the band (500
+    # rows, or 100M where the ratio is ~48), no count.
+    capped_small, r_small = ratio(500)
+    assert not capped_small and r_small < 1 / LSH_ROUTE_DRIFT_GUARD
+    capped_950k, r_950k = ratio(950_000)
+    assert not capped_950k
+    assert 1 / LSH_ROUTE_DRIFT_GUARD <= r_950k <= LSH_ROUTE_DRIFT_GUARD
+    _, r_100m = ratio(100_000_000)
+    assert r_100m > LSH_ROUTE_DRIFT_GUARD
+
+    emb = _t(spark, sf_dir, "embeddings")
+    # Estimated-n path far from the flip: route must come from the
+    # size estimate (no count) and be exact at this n.
+    auto = semantic_pairs_auto(emb, threshold=0.85)
+    assert auto._graft_route == "exact"
+    # Explicit n_rows disables the guard even inside the band: a
+    # 950k claim on a 500-row frame must still route from 950k
+    # (LSH — ratio 1.21, just past the ~750k flip), not from a
+    # counted 500 (which would read exact).
+    pinned = semantic_pairs_auto(emb, threshold=0.85, n_rows=950_000)
+    assert pinned._graft_route == "lsh"
     release_corpus_caches()
