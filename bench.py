@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import statistics
 import sys
 import time
@@ -307,10 +308,60 @@ def detail_filename(sf: str) -> str:
     """BENCH_DETAIL_LOCAL.json is the canonical sf0.1 record cited by
     SCALING.md; gate runs at other SFs go to an sf-tagged file so they
     can never clobber it (ADVICE r7: an sf0.01 gate run overwrote the
-    sf0.1 detail and orphaned SCALING.md's citations). Pinned by
+    sf0.1 detail and orphaned SCALING.md's citations). A parsed sf that
+    is not a plain number (an SF dir with no 'sf' suffix parses to the
+    whole path — ADVICE r8: the '/' in the name made the detail write
+    vanish into its except-OSError) falls back to a sanitized tag so
+    the artifact always lands somewhere loggable. Pinned by
     tests/test_entry.py::test_bench_detail_filename."""
-    return ("BENCH_DETAIL_LOCAL.json" if sf == "0.1"
-            else f"BENCH_DETAIL_SF{sf}_LOCAL.json")
+    if sf == "0.1":
+        return "BENCH_DETAIL_LOCAL.json"
+    if not re.fullmatch(r"[0-9.]+", sf):
+        sf = re.sub(r"[^A-Za-z0-9.]+", "_", sf).strip("_") or "unknown"
+    return f"BENCH_DETAIL_SF{sf}_LOCAL.json"
+
+
+def trivial_canary(spark, sf_dir: str) -> float:
+    """Constant-plan host-noise reference (VERDICT r5 what's-wrong #2):
+    count(*) over nation through the noop sink, min-of-3. The plan
+    never changes round-over-round, so a shift here is HOST noise
+    (hypervisor steal, thermal, page cache), not plan drift. ONE shared
+    definition for every recorder (bench + scale_curve + probes) —
+    cross-artifact noise adjudication only works while the plan is
+    byte-identical everywhere (ADVICE r8)."""
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy().count(
+        ).write.format("noop").mode("overwrite").save()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
+def shuffle_canary(spark, sf_dir: str) -> float:
+    """Shuffle-heavy host-noise reference (VERDICT r7 next-round #2):
+    a FROZEN repartition(32)+mod-997 agg over lineitem — one full
+    shuffle of the fact table across all local threads — sensing the
+    multi-core noise mode the trivial canary is blind to (r7: flat
+    trivial canary, +20-50% on shuffle-heavy queries). ONE shared
+    definition for every recorder; the plan must never change
+    round-over-round (ADVICE r8: a drifted copy would silently break
+    cross-artifact adjudication). min-of-3, same discipline as
+    queries."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+            "l_orderkey", "l_quantity"
+        ).repartition(32, "l_orderkey").groupBy(
+            (F.col("l_orderkey") % 997).alias("k")
+        ).agg(F.sum("l_quantity").alias("s")).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
 
 
 def main() -> None:
@@ -363,48 +414,12 @@ def main() -> None:
         release_corpus_caches()
         return min(runs), runs
 
-    def _canary() -> float:
-        """Noise canary (VERDICT r5 what's-wrong #2): a constant,
-        trivial plan — count(*) over nation through the same noop
-        sink — timed at the START and END of every bench run. Its
-        plan never changes round-over-round, so a shift in the canary
-        is HOST noise (hypervisor steal, thermal, page cache), not
-        plan drift; the r5 +26% headline inflation question becomes
-        answerable in one line. min-of-3, same discipline as queries."""
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.read.parquet(f"{sf_dir}/nation.parquet").groupBy().count(
-            ).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
-
-    def _canary_shuffle() -> float:
-        """Shuffle-heavy noise canary (VERDICT r7 next-round #2): the
-        constant-plan nation-count canary stayed flat through the r7
-        +12% headline move because its one-partition count never
-        touches the machinery that noise mode inflates (multi-core
-        shuffle write/fetch). This second canary is a FROZEN
-        repartition+agg over lineitem — one full shuffle of the fact
-        table across all local threads — so hypervisor modes that tax
-        cross-thread shuffle register here even when the trivial
-        canary is flat. The plan must never change round-over-round;
-        min-of-3, same discipline as queries."""
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-                "l_orderkey", "l_quantity"
-            ).repartition(32, "l_orderkey").groupBy(
-                (F.col("l_orderkey") % 997).alias("k")
-            ).agg(F.sum("l_quantity").alias("s")).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
-
-    canary_pre = _canary()
-    canary_shuffle_pre = _canary_shuffle()
+    # Both canaries timed at the START and END of every bench run;
+    # shared frozen plans live at module level (trivial_canary /
+    # shuffle_canary) so scale_curve.py and probes record the SAME
+    # plans (ADVICE r8).
+    canary_pre = trivial_canary(spark, sf_dir)
+    canary_shuffle_pre = shuffle_canary(spark, sf_dir)
 
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
@@ -446,8 +461,8 @@ def main() -> None:
     # detail goes to BENCH_DETAIL_LOCAL.json (committed, judge-
     # readable) and to an EARLY stdout line; the FINAL line is the
     # compact contract shape and stays well under the buffer.
-    canary_post = _canary()
-    canary_shuffle_post = _canary_shuffle()
+    canary_post = trivial_canary(spark, sf_dir)
+    canary_shuffle_post = shuffle_canary(spark, sf_dir)
 
     out = {
         "metric": "headline_queries_total",
@@ -492,8 +507,12 @@ def main() -> None:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                detail_name), "w") as fh:
             json.dump(detail, fh)
-    except OSError:
-        pass  # read-only checkout: the early stdout line still has it
+    except OSError as exc:
+        # Read-only checkout: the early stdout line still has the
+        # detail — but say so (ADVICE r8: a silent skip let a gate run
+        # produce no detail artifact with no warning).
+        print(f"bench: detail write to {detail_name} skipped: {exc}",
+              file=sys.stderr)
     print(json.dumps(detail))
     print(json.dumps(out))
 

@@ -62,40 +62,17 @@ def main() -> None:
     spark = get_spark("scale-curve")
     spark.range(10).count()  # JVM warm
 
+    # Host-noise references measured once per scale point, over the
+    # SOURCE tables so each point's readings carry their own
+    # host-state stamp. The frozen plans are bench.py's module-level
+    # trivial_canary/shuffle_canary — ONE definition (ADVICE r8: a
+    # verbatim copy here could drift and silently break cross-artifact
+    # noise adjudication); scale_curve already imports bench.
     def _canary() -> float:
-        """Constant-plan host-noise reference (same plan as bench.py's
-        canary: count(*) over the SOURCE nation table through the noop
-        sink, min-of-3). Measured once per scale point so each point's
-        readings carry their own host-state stamp."""
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.read.parquet(f"{src}/nation.parquet").groupBy().count(
-            ).write.format("noop").mode("overwrite").save()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+        return bench.trivial_canary(spark, src)
 
     def _canary_shuffle() -> float:
-        """Shuffle-heavy host-noise reference (same FROZEN plan as
-        bench.py's second canary: repartition(32)+agg over the SOURCE
-        lineitem, min-of-3) — the r7 driver round showed the trivial
-        canary is blind to noise modes that tax multi-core shuffle;
-        the curve's heavy queries are exactly that shape, so each
-        point records both canaries."""
-        from pyspark.sql import functions as F
-
-        runs = []
-        for _ in range(3):
-            t0 = time.time()
-            spark.read.parquet(f"{src}/lineitem.parquet").select(
-                "l_orderkey", "l_quantity"
-            ).repartition(32, "l_orderkey").groupBy(
-                (F.col("l_orderkey") % 997).alias("k")
-            ).agg(F.sum("l_quantity").alias("s")).write.format(
-                "noop"
-            ).mode("overwrite").save()
-            runs.append(time.time() - t0)
-        return round(min(runs), 3)
+        return bench.shuffle_canary(spark, src)
 
     points: dict[str, dict[str, float]] = {}
     run_detail: dict[str, dict[str, list[float]]] = {}

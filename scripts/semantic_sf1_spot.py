@@ -45,6 +45,21 @@ def build_spot_dir(n_slice: int, replicas: int) -> str:
 
     spot = f"{sf1_dir}_semspot{n_slice}"
     done = f"{spot}/_SPARK_GRAFT_READY"
+    # Staleness check (ADVICE r8): the marker used to cache the slice
+    # forever — a rebuilt/evicted sf1 replica dir left dangling
+    # symlinks and a stale embeddings slice behind a still-green
+    # marker. The marker now records the source dir and its
+    # ready-stamp mtime; any mismatch invalidates the cache.
+    sf1_ready = f"{sf1_dir}/_SPARK_GRAFT_READY"
+    src_sig = f"{sf1_dir}\n{os.path.getmtime(sf1_ready)}"
+    if os.path.exists(done):
+        with open(done) as fh:
+            if fh.read() != src_sig:
+                import shutil
+
+                print(f"spot dir {spot}: source sf1 dir rebuilt — "
+                      "invalidating stale slice", flush=True)
+                shutil.rmtree(spot, ignore_errors=True)
     if not os.path.exists(done):
         os.makedirs(spot, exist_ok=True)
         emb = spark.read.parquet(f"{sf1_dir}/embeddings.parquet")
@@ -55,6 +70,16 @@ def build_spot_dir(n_slice: int, replicas: int) -> str:
         emb.filter(f"vec_id % {stride} = 0").repartition(
             replicas
         ).write.mode("overwrite").parquet(f"{spot}/embeddings.parquet")
+        # The stride-selection math assumes contiguous 0..n-1 vec_ids;
+        # verify the written slice is in tolerance rather than trusting
+        # it (ADVICE r8) — a sparse/offset id space would silently gate
+        # a much smaller corpus than the run claims.
+        written = spark.read.parquet(f"{spot}/embeddings.parquet").count()
+        expect = n // stride
+        assert abs(written - expect) <= max(2, expect // 10), (
+            f"sliced {written} rows, expected ~{expect} "
+            f"(n={n}, stride={stride}) — non-contiguous vec_ids?"
+        )
         for t in TABLES:
             if t == "embeddings":
                 continue
@@ -62,9 +87,9 @@ def build_spot_dir(n_slice: int, replicas: int) -> str:
             if not os.path.lexists(dst):
                 os.symlink(f"{sf1_dir}/{t}.parquet", dst)
         with open(done, "w") as fh:
-            fh.write("ok")
+            fh.write(src_sig)
         print(f"spot dir {spot}: {n}-vector sf1 corpus sliced to "
-              f"~{n // stride} (stride {stride})", flush=True)
+              f"{written} (stride {stride})", flush=True)
     spark.stop()
     return spot
 
