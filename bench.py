@@ -448,7 +448,16 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_SF1", "1") != "0" and sf == "0.1":
         sf1_dir = _build_sf1(spark, sf_dir)
         for name in SF1_QUERIES:
-            best, _runs = _time(name, sf1_dir, 2)
+            # min-of-2 suffices for the near-linear queries, but the
+            # quadratic-by-contract semantic point has now needed a
+            # dedicated re-probe two rounds running (r8 curve 50.4 ->
+            # 45.6; r9 bench 21.92 -> 7.52 min-of-4, canaries in band
+            # both times, SEMKEEP_REPROBE_r09.txt): its first 1-2 runs
+            # pay page-cache fill + C2 on the matmul path and can read
+            # 2-3x steady state. Four runs reach it.
+            best, _runs = _time(
+                name, sf1_dir, 4 if name == "semantic_dedup_keep" else 2
+            )
             sf1_timings[name] = round(best, 3)
             base = timings.get(name) or extra_timings.get(name)
             if base:
