@@ -803,13 +803,14 @@ def semantic_pairs_auto(
     # the decision ratio exact_pairs/margin_cost shifts ~linearly with
     # an n drift — a ±4× n guard is a ratio band of [1/4, 4].
     margin_cost = lsh_candidates * LSH_ROUTE_MARGIN
-    if (
+    drift_count_fired = (
         estimated
         and margin_cost > 0
         and exact_pairs / LSH_ROUTE_DRIFT_GUARD
         <= margin_cost
         <= exact_pairs * LSH_ROUTE_DRIFT_GUARD
-    ):
+    )
+    if drift_count_fired:
         n_rows = max(1, df.count())
         b, t, capped, capped_recall, exact_pairs, lsh_candidates = (
             _route_inputs(
@@ -841,6 +842,10 @@ def semantic_pairs_auto(
             n_rows=n_rows,
         )
         out._graft_route = "lsh"
+    # Audit surface (tests + ROUTE_PROBE): the n the decision actually
+    # used and whether the drift guard paid the resolving count().
+    out._graft_route_n = n_rows
+    out._graft_drift_count = drift_count_fired
     return out
 
 

@@ -21,6 +21,15 @@ Usage:
     python scripts/route_probe.py [replicas] [theta] [runs]
     python scripts/route_probe.py 10 0.85 3     # the calibration point
     python scripts/route_probe.py 100 0.85 3    # the validation point
+    python scripts/route_probe.py guard [replicas] [theta]
+        # r9 drift-guard audit: call the router with the ESTIMATED n
+        # (production mode) on a corpus whose decision ratio lands
+        # inside the guard band, and report — via the router's audit
+        # attributes — whether the resolving count() fired, what n the
+        # decision actually used, and the measured estimate drift on
+        # this layout. Does NOT execute the chosen route (at guard-band
+        # n the exact arm is minutes-long; the audit only needs the
+        # plan + the count).
 """
 
 from __future__ import annotations
@@ -36,7 +45,47 @@ from kaggle_ecommerce_etl_spark.functions import similarity as S
 from kaggle_ecommerce_etl_spark.session import get_spark
 
 
+def guard_audit() -> None:
+    """Live demonstration of LSH_ROUTE_DRIFT_GUARD on a real layout."""
+    replicas = int(sys.argv[2]) if len(sys.argv) > 2 else 200
+    theta = float(sys.argv[3]) if len(sys.argv) > 3 else 0.85
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("route-guard-audit")
+    spark.range(10).count()
+    bench.SF1_REPLICAS = replicas
+    run_dir = bench._build_sf1(spark, src)
+    emb = spark.read.parquet(f"{run_dir}/embeddings.parquet")
+    true_n = emb.count()
+    est = S._estimated_rows(emb, "embedding", 64)
+
+    def ratio(n: int) -> float:
+        _, _, _, _, ep, lc = S._route_inputs(n, theta, 256, 0.9, 64)
+        return ep / (lc * S.LSH_ROUTE_MARGIN)
+
+    t0 = time.time()
+    out = S.semantic_pairs_auto(emb, theta)  # ESTIMATED n: production mode
+    decide_s = round(time.time() - t0, 3)
+    print(
+        f"theta={theta} true_n={true_n} catalyst_estimate={est} "
+        f"drift={true_n / est:.2f}x under | est ratio={ratio(est):.3f} "
+        f"true ratio={ratio(true_n):.3f} band=[1/{S.LSH_ROUTE_DRIFT_GUARD:g},"
+        f" {S.LSH_ROUTE_DRIFT_GUARD:g}]",
+        flush=True,
+    )
+    print(
+        f"guard_count_fired={out._graft_drift_count} "
+        f"decision_n={out._graft_route_n} route={out._graft_route} "
+        f"decision_cost={decide_s}s (plan build + any resolving count; "
+        f"route NOT executed)",
+        flush=True,
+    )
+    S.release_corpus_caches()
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "guard":
+        guard_audit()
+        return
     replicas = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     theta = float(sys.argv[2]) if len(sys.argv) > 2 else 0.85
     n_runs = int(sys.argv[3]) if len(sys.argv) > 3 else 3

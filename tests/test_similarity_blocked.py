@@ -349,13 +349,17 @@ def test_semantic_router_drift_guard(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     # Estimated-n path far from the flip: route must come from the
-    # size estimate (no count) and be exact at this n.
+    # size estimate alone — the guard must NOT fire (asserted via the
+    # audit attribute) and the route is exact at this n.
     auto = semantic_pairs_auto(emb, threshold=0.85)
     assert auto._graft_route == "exact"
+    assert auto._graft_drift_count is False
     # Explicit n_rows disables the guard even inside the band: a
     # 950k claim on a 500-row frame must still route from 950k
     # (LSH — ratio 1.21, just past the ~750k flip), not from a
     # counted 500 (which would read exact).
     pinned = semantic_pairs_auto(emb, threshold=0.85, n_rows=950_000)
     assert pinned._graft_route == "lsh"
+    assert pinned._graft_drift_count is False
+    assert pinned._graft_route_n == 950_000
     release_corpus_caches()
