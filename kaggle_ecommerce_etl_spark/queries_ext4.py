@@ -461,20 +461,25 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     boilerplate / near-duplicate leftovers that slipped past pair
     dedup; the within-doc cousin is `repetition_ratio`. Integer-exact
     outputs (counts only — the ratio is the caller's division, kept
-    off the correctness surface because it is rational). Two-phase:
-    distinct doc-trigram pairs, trigram DF, join + per-doc agg —
-    shuffle volume ∝ distinct trigram occurrences, never n². The
-    shingle subtree is built twice in the static plan (2 pruned
-    scans, no ReusedExchange — same Catalyst behavior as
-    source_token_drift); a production run persists the exploded
-    doc-trigram frame once, exactly like the drift counts frame.
+    off the correctness surface because it is rational).
 
-    Shape choice, measured at sf0.1: a count-over-Window(tri) variant
-    is 1.04 s vs 1.72 s for this agg+join — but the window sorts each
-    trigram's rows in ONE task with no AQE skew handling, so a
-    boilerplate mega-trigram at 100 TB serializes; the agg collapses
-    hot keys map-side and the join-back is AQE-skew-splittable. The
-    slower-locally shape is the one that survives scale."""
+    Shape (r9, replacing the r7 agg+join-back): the join of the full
+    exploded doc-trigram frame against the trigram-DF frame is
+    unnecessary. `n_trigrams` is `size(array_distinct(tris))` — a pure
+    map over documents, zero shuffle. `n_novel` needs only the
+    trigram-side aggregate: when a trigram's df == 1, `min(doc_id)`
+    over its group IS the one owning document, so
+    `groupBy(tri).agg(count, min(doc_id))` + filter df==1 +
+    `groupBy(owner).count()` yields per-doc novel counts with ONE
+    shuffle of the exploded frame (map-side combined — a boilerplate
+    mega-trigram collapses to one row per map partition, no skew-join
+    needed) instead of the old two shuffles + join. The final
+    stitch is a per-doc ≤n_docs-row left join, broadcast/AQE-trivial.
+    Measured same-session min-of-3, shuffle canaries in band both
+    runs: sf0.1 1.63 → 1.38 s, sf1 5.81 → 2.51 s (2.3×); the 10×
+    scale-up drops from 3.6–4.1× (r8 band) to 1.82×. The r7
+    docstring's Window(tri) rejection still applies a fortiori: this
+    shape has no per-key serialization point at all."""
     d = _t(spark, sf_dir, "documents")
     # same shingle contract as functions.dedup_ml.shingles_expr(n=3)
     # (short texts yield one covering shingle), but built over a
@@ -500,15 +505,30 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.concat_ws(" ", F.slice(t, i, 3)),
         )
     )
+    # per-doc trigram count is array-local: tris is already distinct
+    per_doc = toks.select(
+        "doc_id", tris.alias("tris")
+    ).select("doc_id", F.size("tris").cast("long").alias("n_trigrams"))
     sh = toks.select("doc_id", F.explode(tris).alias("tri"))
-    df = sh.groupBy("tri").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        sh.join(df, "tri")
-        .groupBy("doc_id")
+    # df==1 ⇒ min(doc_id) is the unique owner; both aggregates are
+    # partial-merge (map-side combine), so a hot trigram never ships
+    # more than one row per map partition
+    novel = (
+        sh.groupBy("tri")
         .agg(
-            F.count(F.lit(1)).alias("n_trigrams"),
-            F.sum((F.col("df") == 1).cast("long")).alias("n_novel"),
+            F.count(F.lit(1)).alias("df"),
+            F.min("doc_id").alias("owner"),
         )
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("novel_cnt"))
+    )
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_trigrams",
+        F.coalesce(F.col("novel_cnt"), F.lit(0).cast("long")).alias(
+            "n_novel"
+        ),
     )
 
 
