@@ -532,28 +532,34 @@ def _cross_prefix_candidates(
     compatibility conjunct (j ≥ t' forces min(s1,s2) ≥ t'·max) prunes
     the equi-join output before the aggregation.
 
-    POSITIONAL FILTER (PPJoin-style, Xiao et al. 2008 — exact, r6):
-    both docs' token lists are sorted by the SAME global (df, token)
-    order, so prefixes are PREFIXES of that order — and the
-    globally-first shared prefix token (1-based positions p1*, p2*)
-    admits NO shared token before it (an earlier shared token would
-    itself be in both prefixes, contradicting minimality; it is the
-    same token that minimizes both positions, by order consistency).
-    Hence overlap ≤ 1 + min(s1−p1*, s2−p2*) with p1* = min p1,
-    p2* = min p2 over the pair's shared prefix tokens. Candidates are
-    grouped (replacing the distinct — same shuffle) and pruned when
+    POSITIONAL FILTER (PPJoin-style, Xiao et al. 2008 — exact; r6
+    first-position form upgraded r9 to the full count+last-position
+    bound): both docs' token lists are sorted by the SAME global
+    (df, token) order, so prefixes are PREFIXES of that order. Let
+    cnt = number of shared prefix tokens and p1x/p2x the pair's LAST
+    matched prefix positions (1-based ranks). Any common token NOT
+    counted in cnt must rank after that last matched token in BOTH
+    docs — if it ranked before it anywhere, order consistency puts
+    it before rank p1x ≤ prefix-length in both docs, i.e. in both
+    prefixes, so it would have been counted. Hence
+    overlap ≤ cnt + min(s1−p1x, s2−p2x), and the pair is pruned when
     that bound < α = t'/(1+t')·(s1+s2), the minimum intersection
-    Jaccard ≥ t' forces. Using t_eff (the round-4 margin) loosens
-    α → never prunes a true pair.
+    Jaccard ≥ t' forces. This dominates the r6 first-position bound
+    1 + min(s1−p1min, s2−p2min): matched positions are distinct, so
+    p1x ≥ p1min + cnt − 1, giving cnt + (s−p1x) ≤ 1 + (s−p1min) on
+    each side. Using t_eff (the round-4 margin) loosens α → never
+    prunes a true pair; exact array verification downstream makes
+    any remaining false candidate harmless.
 
-    Measured honestly (r6, sf0.1, t=0.8): 338k → 319k candidates and
-    a time wash — because 146.9k of the candidates are TRUE pairs on
-    this dup-dense synthetic corpus (~46% precision bounds what ANY
-    candidate filter can remove). The filter's regime is the sparse
-    one — a real crawl batch where admitted pairs are ≪ candidates
-    and the first-shared-position bound prunes the hot mid-prefix
-    band; it costs nothing here (the groupBy replaces the distinct at
-    the same shuffle), so it stays on unconditionally."""
+    Measured honestly (r6, sf0.1, t=0.8, first-position form):
+    338k → 319k candidates and a time wash — 146.9k of the
+    candidates are TRUE pairs on this dup-dense synthetic corpus
+    (~46% precision bounds what ANY candidate filter can remove).
+    The filter's regime is the sparse one — a real crawl batch where
+    admitted pairs are ≪ candidates; it costs nothing here (the
+    groupBy replaces the distinct at the same shuffle), so it stays
+    on unconditionally. r9 re-measure with the count+last-position
+    bound: see q_jaccard_cross_gate's cost-profile note."""
     from pyspark.sql.window import Window
 
     t_eff = threshold - _ROUND4_MARGIN
@@ -591,12 +597,16 @@ def _cross_prefix_candidates(
             & (F.col("__s1") * F.lit(t_eff) <= F.col("__s2"))
         )
         .groupBy("in_id", "ex_id", "__s1", "__s2")
-        .agg(F.min("__p1").alias("__p1m"), F.min("__p2").alias("__p2m"))
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("__p1").alias("__p1x"),
+            F.max("__p2").alias("__p2x"),
+        )
         .filter(
-            F.lit(1)
+            F.col("__c")
             + F.least(
-                F.col("__s1") - F.col("__p1m"),
-                F.col("__s2") - F.col("__p2m"),
+                F.col("__s1") - F.col("__p1x"),
+                F.col("__s2") - F.col("__p2x"),
             )
             >= alpha
         )
@@ -641,7 +651,12 @@ def jaccard_cross_prefix(
     DOMINATES, not tokenization (persisting the tokenized projections
     measured a wash, 5.5-6.1 s both ways, and was rejected). To make
     this faster, shrink the CANDIDATE set (raise t, positional
-    filtering) — not the scan."""
+    filtering) — not the scan. r9: the count+last-position bound
+    (see _cross_prefix_candidates) cut candidates 319k → 300k at the
+    same shuffle cost; end-to-end a wash here (min-of-3 4.75 vs 5.1 s,
+    canaries in band) because 146.9k of the candidates are TRUE pairs
+    on this dup-dense corpus — the filter's payoff regime is a sparse
+    real crawl where false candidates dominate."""
     b_base = ensure_min_partitions(batch).select(
         qcol(id_col).alias("__id"),
         F.array_distinct(tokens_ws(qcol(text_col))).alias("__toks"),
