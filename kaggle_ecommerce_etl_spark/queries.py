@@ -1611,8 +1611,6 @@ DRIVER_WINDOW = (
     "month_datetime",  # re-verify (last driver stamp r4)
     "text_standardize",  # re-verify (last driver stamp r4)
     "mostly_null_filter",  # re-verify (last driver stamp r4)
-    "critical_dropna",  # re-verify (last driver stamp r4)
-    "null_counts",  # re-verify (last driver stamp r4)
     "parse_gate",  # re-verify (last driver stamp r4)
     "drop_allnull_cols",  # re-verify (last driver stamp r4)
     # VERDICT r8 #6: similarity.py changed this round (route-flip drift
@@ -1622,6 +1620,15 @@ DRIVER_WINDOW = (
     # incremental_read — both r4-stamped, re-pooled for r10).
     "semantic_dedup_auto",  # re-verify (r9 changed path: router)
     "semantic_dedup_keep",  # re-verify (r9 changed path: router)
+    # Two more r9 changed paths displace the two r4 proposal entries
+    # whose OPERATORS already hold r8 driver evidence through composite
+    # queries (critical_dropna via pipeline_amazon_clean,
+    # null_counts via data_quality_report — both re-pooled for r10):
+    # ngram_novelty's plan was reshaped (join-back removal) and
+    # jaccard_cross_gate's candidate filter was tightened (count+last-
+    # position PPJoin bound), so both take changed-path re-verify slots.
+    "ngram_novelty",  # re-verify (r9 changed path: join-back removal)
+    "jaccard_cross_gate",  # re-verify (r9 changed path: positional bound)
 )
 
 
