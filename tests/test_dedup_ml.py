@@ -258,3 +258,58 @@ def test_cross_prefix_round_boundary_pair_included(spark):
     corpus = spark.createDataFrame([(2, b_toks)], ["doc_id", "text"])
     out = jaccard_cross_prefix(batch, corpus, threshold=0.5).collect()
     assert [(r.in_id, r.ex_id, r.jaccard) for r in out] == [(1, 2, 0.5)]
+
+
+def test_cross_prefix_randomized_parity(spark):
+    """Randomized (seeded) parity sweep for the r9 count+last-position
+    positional bound: across corpora with mixed doc sizes, shared
+    vocabulary bands, and thresholds spanning the prefix regime, the
+    filtered pipeline must equal the naive python reference EXACTLY —
+    the bound may only remove candidates whose true overlap cannot
+    reach alpha. Catches any future tightening that crosses from
+    'upper bound' into 'heuristic'."""
+    import itertools
+    import random
+
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import (
+        jaccard_cross_prefix,
+    )
+
+    rng = random.Random(90217)
+    for trial, threshold in enumerate((0.5, 0.8, 0.9)):
+        rows = []
+        # shared band (hot tokens), per-doc band, and copies with edits
+        vocab_hot = [f"h{k}" for k in range(5)]
+        for i in range(25):
+            n = rng.randint(3, 14)
+            toks = rng.sample(
+                [f"w{trial}_{k}" for k in range(40)], n
+            ) + rng.sample(vocab_hot, rng.randint(0, 3))
+            rows.append((i, " ".join(toks)))
+            # a corpus-side near-dup: drop/add a couple of tokens
+            mut = [t for t in toks if rng.random() > 0.15]
+            mut += [f"m{trial}_{i}"] * (rng.random() > 0.5)
+            rows.append((1000 + i, " ".join(mut) if mut else f"m{trial}_{i}"))
+        df = spark.createDataFrame(rows, ["doc_id", "text"])
+        batch = df.filter(F.col("doc_id") < 1000)
+        corpus = df.filter(F.col("doc_id") >= 1000)
+        got = {
+            (r.in_id, r.ex_id): r.jaccard
+            for r in jaccard_cross_prefix(
+                batch, corpus, threshold=threshold
+            ).collect()
+        }
+        sets = {i: set(t.split()) for i, t in rows}
+        want = {}
+        for b, c in itertools.product(
+            [i for i, _ in rows if i < 1000],
+            [i for i, _ in rows if i >= 1000],
+        ):
+            inter = len(sets[b] & sets[c])
+            if not inter:
+                continue
+            j = round(inter / (len(sets[b]) + len(sets[c]) - inter), 4)
+            if j >= threshold:
+                want[(b, c)] = j
+        assert got == want, (threshold, len(got), len(want))
+        assert want  # every threshold regime must actually fire

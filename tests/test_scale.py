@@ -366,3 +366,29 @@ def test_ensure_min_partitions_2x_threshold(spark):
         if native > n // 2:  # tiny files can coalesce in the scan
             out = ensure_min_partitions(near)
             assert out.rdd.getNumPartitions() == native
+
+
+def test_ngram_novelty_plan_shape(spark, sf_dir):
+    """Pin the r9 join-back removal (queries_ext4.q_ngram_novelty):
+    the exploded doc-trigram frame must be shuffled exactly ONCE (the
+    map-side-combined groupBy(tri)); the old shape joined it back
+    against the trigram-DF frame on `tri`, paying a second full
+    shuffle and leaning on AQE skew-split for hot trigrams. Values
+    are oracle-checked; this guards the SHAPE so a refactor can't
+    silently reintroduce the join-back."""
+    import re
+
+    from kaggle_ecommerce_etl_spark.queries_ext4 import q_ngram_novelty
+
+    plan = _plan(q_ngram_novelty(spark, sf_dir))
+    # one Generate (the explode) — the per-doc n_trigrams branch is
+    # array-local (size over array_distinct), so it never explodes
+    assert plan.count("Generate") == 1, plan
+    # exactly two hash exchanges: groupBy(tri) and groupBy(owner);
+    # the per-doc branch is scan -> project with no shuffle
+    assert len(re.findall(r"Exchange hashpartitioning", plan)) == 2, plan
+    # the only join stitches doc-sized frames on doc_id — never on tri
+    join_lines = [
+        ln for ln in plan.splitlines() if "Join" in ln and "doc_id" not in ln
+    ]
+    assert not [ln for ln in join_lines if re.search(r"\btri#", ln)], plan
