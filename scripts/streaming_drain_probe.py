@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import tempfile
 import time
@@ -44,19 +45,30 @@ def _noop_batch(df, _batch_id) -> None:
 
 
 def _drain(stream_df) -> None:
-    q = (
-        stream_df.writeStream.foreachBatch(_noop_batch)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="ckpt_probe_"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # Single-use checkpoint by construction (every drain is a fresh
+    # availableNow pass over the full fixture) — remove it after the
+    # drain: at 100x the sessionize state store holds ~10M user keys,
+    # and n_runs x drains x replicas leaked trees would accumulate
+    # real /tmp disk across sessions (ADVICE r9).
+    ckpt = tempfile.mkdtemp(prefix="ckpt_probe_")
+    try:
+        q = (
+            stream_df.writeStream.foreachBatch(_noop_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
 
 
-def drain_dedup(spark, sf_dir: str) -> None:
-    """streaming_dedup_run's fixture + operator, noop foreachBatch sink."""
-    from kaggle_ecommerce_etl_spark.streaming.dedup import dedup_stream_exact
-
+def publish_dedup_fixture(spark, sf_dir: str):
+    """Publish (idempotently) the dedup stream fixture; return
+    (schema, src_dir). Split from the drain so main() can run it
+    UNTIMED — with SPARK_GRAFT_CURVE_RUNS=1 the one-time fixture write
+    (13.3M rows at 100x) would otherwise land inside the t0 window and
+    be misattributed to the operator (ADVICE r9)."""
     ev = _t(spark, sf_dir, "events").select(
         "event_id", "user_id", "event_type", "value", "ts"
     )
@@ -67,14 +79,22 @@ def drain_dedup(spark, sf_dir: str) -> None:
         ev.unionByName(dups).repartition(2).write.mode("overwrite").parquet(stage)
 
     _publish_fixture_dir(src_dir, _build)
-    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    return ev.schema, src_dir
+
+
+def drain_dedup(spark, sf_dir: str) -> None:
+    """streaming_dedup_run's fixture + operator, noop foreachBatch sink."""
+    from kaggle_ecommerce_etl_spark.streaming.dedup import dedup_stream_exact
+
+    schema, src_dir = publish_dedup_fixture(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
     _drain(dedup_stream_exact(stream, ["event_id"]))
 
 
-def drain_sessionize(spark, sf_dir: str) -> None:
-    """streaming_sessionize_run's fixture + operator, noop sink."""
-    from kaggle_ecommerce_etl_spark.streaming.stateful import sessionize_stateful
-
+def publish_sessionize_fixture(spark, sf_dir: str):
+    """Publish (idempotently) the sessionize stream fixture; return
+    (schema, src_dir). Same untimed-publication contract as
+    publish_dedup_fixture."""
     ev = _t(spark, sf_dir, "events").select(
         "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
     )
@@ -92,13 +112,30 @@ def drain_sessionize(spark, sf_dir: str) -> None:
         )
 
     _publish_fixture_dir(src_dir, _build)
-    stream = spark.readStream.schema(ev.schema).parquet(src_dir)
+    return ev.schema, src_dir
+
+
+def drain_sessionize(spark, sf_dir: str) -> None:
+    """streaming_sessionize_run's fixture + operator, noop sink."""
+    from kaggle_ecommerce_etl_spark.streaming.stateful import sessionize_stateful
+
+    schema, src_dir = publish_sessionize_fixture(spark, sf_dir)
+    stream = spark.readStream.schema(schema).parquet(src_dir)
     _drain(sessionize_stateful(stream))
 
 
 DRAINS = {
     "streaming_dedup_drain": drain_dedup,
     "streaming_sessionize_drain": drain_sessionize,
+}
+
+#: Untimed fixture publication, run once per replica point before the
+#: timed loop (ADVICE r9: the first timed run used to include the
+#: one-time fixture build; _publish_fixture_dir is idempotent so the
+#: in-loop call then costs one marker stat).
+PUBLISHERS = {
+    "streaming_dedup_drain": publish_dedup_fixture,
+    "streaming_sessionize_drain": publish_sessionize_fixture,
 }
 
 
@@ -126,6 +163,7 @@ def main() -> None:
         timings: dict[str, float] = {}
         detail: dict[str, list[float]] = {}
         for name, fn in DRAINS.items():
+            PUBLISHERS[name](spark, run_dir)  # untimed: fixture build
             runs = []
             for _ in range(n_runs):
                 t0 = time.time()

@@ -5,7 +5,7 @@ from __future__ import annotations
 import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import __spark_entry__ as entrymod
 
@@ -90,14 +90,60 @@ def test_queries_catalog_consistency():
     assert set(rows) == set(REGISTRY), "QUERIES.md stale: names"
 
 
-def test_bench_detail_filename():
-    """Gate runs at non-headline SFs must never clobber the canonical
-    sf0.1 bench detail SCALING.md cites (the ADVICE r7 medium: an
-    sf0.01 run overwrote BENCH_DETAIL_LOCAL.json and orphaned the
-    cited numbers)."""
+def test_bench_detail_filename(monkeypatch):
+    """Two invariants. (1) ADVICE r7: a non-sf0.1 run must never
+    clobber the canonical sf0.1 detail SCALING.md cites. (2) VERDICT
+    r9 what's-wrong #2: an ORDINARY run (the per-round driver run) must
+    never write the canonical filename at all — it gets a round-stamped
+    file so the committed record stays clean; only an explicit
+    SPARK_GRAFT_DETAIL_CANONICAL=1 run refreshes the cited file."""
+    import re
+
     import bench
 
+    monkeypatch.delenv("SPARK_GRAFT_DETAIL_CANONICAL", raising=False)
+    tag = bench.next_round_tag()
+    assert re.fullmatch(r"r\d{2,}", tag)
+    # default (driver) runs: round-stamped at every sf, never canonical
+    assert bench.detail_filename("0.1") == f"BENCH_DETAIL_SF0.1_{tag}.json"
+    assert bench.detail_filename("0.01") == f"BENCH_DETAIL_SF0.01_{tag}.json"
+    for sf in ("0.1", "0.01", "1"):
+        assert bench.detail_filename(sf) != "BENCH_DETAIL_LOCAL.json"
+
+    # explicitly canonical runs: the committed filenames, sf-guarded
+    monkeypatch.setenv("SPARK_GRAFT_DETAIL_CANONICAL", "1")
     assert bench.detail_filename("0.1") == "BENCH_DETAIL_LOCAL.json"
     assert bench.detail_filename("0.01") == "BENCH_DETAIL_SF0.01_LOCAL.json"
     assert bench.detail_filename("0.001") == "BENCH_DETAIL_SF0.001_LOCAL.json"
     assert bench.detail_filename("1") != "BENCH_DETAIL_LOCAL.json"
+
+
+def test_gen_catalog_newest_artifact():
+    """QUERIES.md's evidence pointers must track the newest round
+    artifact numerically (VERDICT r9 hygiene #3: the hardcoded r8
+    oracle pointer went stale the moment r9's oracle run existed; and
+    lexicographic glob order would misattribute at r100)."""
+    import importlib
+    import sys as _sys
+
+    scripts_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "scripts")
+    _sys.path.insert(0, scripts_dir)
+    try:
+        gc = importlib.import_module("gen_catalog")
+    finally:
+        _sys.path.remove(scripts_dir)
+    newest = gc._newest_artifact("ORACLE_LOCAL_r*.txt",
+                                 r"ORACLE_LOCAL_r(\d+)\.txt")
+    import glob as _glob
+    import re as _re
+
+    rounds = [int(_re.fullmatch(r"ORACLE_LOCAL_r(\d+)\.txt",
+                                os.path.basename(f)).group(1))
+              for f in _glob.glob(os.path.join(gc.REPO, "ORACLE_LOCAL_r*.txt"))
+              if _re.fullmatch(r"ORACLE_LOCAL_r(\d+)\.txt",
+                               os.path.basename(f))]
+    assert newest == f"ORACLE_LOCAL_r{max(rounds):02d}.txt"
+    # and the generated QUERIES.md must cite an artifact that exists
+    queries_md = open(os.path.join(gc.REPO, "QUERIES.md")).read()
+    assert newest in queries_md, "QUERIES.md cites a stale oracle artifact"
