@@ -294,11 +294,29 @@ def ngram_jaccard_pairs(
     )
 
 
+#: Edge cap for the driver union-find fast path in :func:`dup_clusters`.
+#: Collect volume at the cap is 2 int64 columns × 2M rows = 32 MB of
+#: Arrow — half this session's autoBroadcastJoinThreshold (64 MB), i.e.
+#: the same order of driver traffic Spark itself incurs building ONE
+#: broadcast relation, and it replaces O(log d) materialized rounds.
+#: Measured r10 (local[32], random graphs, min-of-1 after warm-up):
+#:   edges=200k → fast path 1.4 s vs loop 19.2 s (13.7×)
+#:   edges=1M   → fast path 7.8 s vs loop 31.6 s (4.1×)
+#:   edges=3M   → fast path 19.7 s vs loop 80.3 s (4.1×)
+#: The cap is exact (gated on the checkpoint COUNT, never an estimate)
+#: and conservative: the wall-time crossover is far above 3M edges,
+#: but 32 MB keeps the driver footprint boring on any deployment.
+#: Above the cap the unchanged distributed loop runs — 100 TB edge
+#: sets never reach the driver.
+_DRIVER_CC_MAX_EDGES = 2_000_000
+
+
 def dup_clusters(
     pairs: DataFrame,
     id1: str = "id1",
     id2: str = "id2",
     max_iter: int = 20,
+    driver_fastpath_max_edges: int | None = None,
 ) -> DataFrame:
     """Connected components over a near-duplicate pair set → cluster
     label per member (min id in the component), the step that turns
@@ -332,14 +350,46 @@ def dup_clusters(
     shuffle partitioning from the MATERIALIZED edge count — shrink-only
     (never above the session setting, so 100 TB edge sets keep full
     parallelism), restored on exit.
+
+    SMALL-GRAPH FAST PATH (r10): when the materialized edge count is
+    ≤ ``driver_fastpath_max_edges`` (default
+    :data:`_DRIVER_CC_MAX_EDGES`), the checkpointed edge list is
+    collected and solved with an exact min-root union-find on the
+    driver, and the labels return as a local relation. Rationale: the
+    distributed loop's cost floor is (rounds × per-round scheduling),
+    and rounds = O(log diameter) — measured 11 rounds × ~0.5 s on a
+    920-edge sf0.1 graph, i.e. ~5 s of pure job latency for
+    microseconds of actual work. The collect is bounded (see the cap
+    constant: ≤ 32 MB, half this session's broadcast threshold, exact
+    count-gated), the result is IDENTICAL (union-find by min root ≡
+    min-label fixpoint; pinned by
+    tests/test_dedup_ml.py::test_dup_clusters_fastpath_matches_loop),
+    and edge sets past the cap take the unchanged distributed loop —
+    the same engine-routes-by-measured-size discipline as
+    similarity.semantic_pairs_auto. Pass ``driver_fastpath_max_edges=0``
+    to force the distributed loop (the convergence-contract tests do).
+
+    Both paths materialize the HALF edge set (one direction) first and
+    derive the reversed direction from the checkpoint: the previous
+    shape unioned two selects over the un-materialized ``pairs`` plan,
+    which executed the (potentially expensive) pair generator TWICE.
     """
     spark = pairs.sparkSession
-    edges = (
-        pairs.select(F.col(id1).alias("src"), F.col(id2).alias("dst"))
-        .union(pairs.select(F.col(id2).alias("src"), F.col(id1).alias("dst")))
-        .localCheckpoint(eager=True)
+    half = pairs.select(
+        F.col(id1).alias("src"), F.col(id2).alias("dst")
+    ).localCheckpoint(eager=True)
+    n_half = half.count()  # cheap: scans the checkpoint just built
+    if driver_fastpath_max_edges is None:
+        driver_fastpath_max_edges = _DRIVER_CC_MAX_EDGES
+    if n_half <= driver_fastpath_max_edges:
+        local = _dup_clusters_driver(spark, half)
+        if local is not None:
+            return local
+    # reversed direction re-reads the CHECKPOINT (no recompute of pairs)
+    edges = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    n_edges = edges.count()  # cheap: scans the checkpoint just built
+    n_edges = 2 * n_half
     conf_key = "spark.sql.shuffle.partitions"
     session_parts = int(spark.conf.get(conf_key))
     # ~200k edge rows (3 longs) per partition keeps tasks meaningful;
@@ -360,6 +410,72 @@ def dup_clusters(
         return _dup_clusters_loop(edges, labels, max_iter)
     finally:
         spark.conf.set(conf_key, str(session_parts))
+
+
+def _dup_clusters_driver(spark, half: DataFrame) -> DataFrame | None:
+    """Exact min-root union-find over a BOUNDED, already-materialized
+    edge list — the small-graph fast path of :func:`dup_clusters`.
+    Returns ``None`` (→ caller falls through to the distributed loop)
+    for shapes the local solver does not claim: non-integral or
+    mixed-type id columns, or null ids. Labels are identical to the
+    distributed fixpoint by construction: union by MIN root means every
+    node's final root is the minimum id reachable from it, which is
+    exactly the min-label propagation fixpoint."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        ByteType, IntegerType, LongType, ShortType, StructField, StructType,
+    )
+
+    t_src = half.schema["src"].dataType
+    t_dst = half.schema["dst"].dataType
+    integral = (ByteType, ShortType, IntegerType, LongType)
+    if t_src != t_dst or not isinstance(t_src, integral):
+        return None
+    pdf = half.toPandas()
+    out_schema = StructType(
+        [StructField("id", t_src, False), StructField("cluster", t_src, False)]
+    )
+    np_t = {"byte": np.int8, "short": np.int16,
+            "integer": np.int32, "long": np.int64}[t_src.typeName()]
+    if len(pdf) == 0:
+        empty = pd.DataFrame({"id": np.array([], dtype=np_t),
+                              "cluster": np.array([], dtype=np_t)})
+        return spark.createDataFrame(empty, schema=out_schema)
+    if pdf["src"].isnull().any() or pdf["dst"].isnull().any():
+        return None
+    a = pdf["src"].to_numpy()
+    b = pdf["dst"].to_numpy()
+    # np.unique sorts ascending, so index order == id order and the
+    # min ROOT INDEX is the min id — union always hooks the larger
+    # root under the smaller.
+    ids, idx = np.unique(np.concatenate([a, b]), return_inverse=True)
+    e1 = idx[: len(a)]
+    e2 = idx[len(a):]
+    parent = np.arange(len(ids), dtype=np.int64)
+
+    def find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for x, y in zip(e1.tolist(), e2.tolist()):
+        rx, ry = find(x), find(y)
+        if rx != ry:
+            if rx < ry:
+                parent[ry] = rx
+            else:
+                parent[rx] = ry
+    roots = np.fromiter(
+        (find(i) for i in range(len(ids))), dtype=np.int64, count=len(ids)
+    )
+    out = pd.DataFrame(
+        {"id": ids.astype(np_t), "cluster": ids[roots].astype(np_t)}
+    )
+    return spark.createDataFrame(out, schema=out_schema)
 
 
 def _dup_clusters_loop(
@@ -670,16 +786,35 @@ def jaccard_cross_prefix(
     cand = _cross_prefix_candidates(b_ex, c_ex, threshold)
     t1 = b_base.select(F.col("__id").alias("in_id"), F.col("__toks").alias("__t1"))
     t2 = c_base.select(F.col("__id").alias("ex_id"), F.col("__toks").alias("__t2"))
-    inter = F.size(F.array_intersect("__t1", "__t2"))
-    jac = F.round(
-        inter.cast("double")
-        / (F.size("__t1") + F.size("__t2") - inter).cast("double"),
-        4,
-    )
+    # Verify cost shape (r10, guide §4.4's duplicated-evaluation trap —
+    # it applies to expensive EXPRESSIONS exactly as to UDFs): the
+    # original `withColumn(jaccard, f(intersect)).filter(jaccard >= t)`
+    # pushed the filter into the ex_id join condition, so
+    # array_intersect — a per-row hash set over ~2×|doc| STRING tokens,
+    # the dominant term of this query (measured r6: ~3.2 s of 5.2 s) —
+    # was evaluated once in the join condition and AGAIN in the output
+    # projection, and appeared twice per expression on top. Two exactly
+    # value-preserving rewrites:
+    #  1. |union| IS the Jaccard denominator: inter = s1+s2-|union| in
+    #     exact integer arithmetic, so ONE array_union subexpression
+    #     replaces two array_intersects and the single double division
+    #     (inter/|union|) is bit-identical to inter/(s1+s2-inter).
+    #  2. `+ rand(42)*0.0` — adds exactly 0.0 (rand ∈ [0,1), no NaN/inf)
+    #     but marks the column NON-DETERMINISTIC, which stops the
+    #     optimizer pushing the threshold filter into the join and
+    #     re-inlining the expression (the expression-level twin of
+    #     udf.asNondeterministic() in the optimization guide §4.4); the
+    #     set arithmetic now runs ONCE per candidate. Retry-safe: the
+    #     added term is the constant 0.0.
+    # Measured (sf0.1, 295k candidates, min-of-3): 6.2 s → 3.5 s with
+    # the identical 146,875-row result.
+    u = F.size(F.array_union("__t1", "__t2"))
+    inter = F.size("__t1") + F.size("__t2") - u
+    jac = F.round(inter.cast("double") / u.cast("double"), 4)
     return (
         cand.join(t1, "in_id")
         .join(t2, "ex_id")
-        .withColumn("jaccard", jac)
+        .withColumn("jaccard", jac + F.rand(42) * F.lit(0.0))
         .filter(F.col("jaccard") >= threshold)
         .select("in_id", "ex_id", "jaccard")
     )

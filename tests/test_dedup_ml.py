@@ -160,12 +160,60 @@ def test_dup_clusters_long_path_converges_logarithmically(spark):
     pairs = spark.createDataFrame(
         [(i, i + 1) for i in range(60)], "id1 long, id2 long"
     )
-    labels = {r.id: r.cluster for r in dup_clusters(pairs).collect()}
+    # driver_fastpath_max_edges=0 forces the DISTRIBUTED loop — this
+    # test pins the loop's convergence contract, which the r10
+    # small-graph union-find fast path would otherwise satisfy
+    # trivially (it ignores max_iter: union-find is single-pass exact).
+    labels = {
+        r.id: r.cluster
+        for r in dup_clusters(pairs, driver_fastpath_max_edges=0).collect()
+    }
     assert set(labels) == set(range(61))
     assert set(labels.values()) == {0}
 
     with pytest.raises(ValueError, match="did not converge"):
-        dup_clusters(pairs, max_iter=2)
+        dup_clusters(pairs, max_iter=2, driver_fastpath_max_edges=0)
+
+
+def test_dup_clusters_fastpath_matches_loop(spark):
+    """The r10 driver union-find fast path must return EXACTLY the
+    distributed loop's labels — same rows, same schema — on adversarial
+    shapes (long path, near-cliques, singleton pairs) and for both int
+    and long id types. Also pins the routing: an edge count above the
+    cap takes the loop, at/below it the local path."""
+    import random
+
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import dup_clusters
+
+    random.seed(10)
+    edges = (
+        [(i, i + 1) for i in range(40)]                      # path
+        + [(100 + a, 100 + b) for a in range(6) for b in range(a)]  # clique
+        + [(500, 501), (700, 699)]                           # pairs
+        + [(random.randrange(900, 960), random.randrange(900, 960))
+           for _ in range(50)]                               # random blob
+    )
+    edges = [(a, b) for a, b in edges if a != b]
+    for schema in ("id1 long, id2 long", "id1 int, id2 int"):
+        pairs = spark.createDataFrame(edges, schema)
+        fast = dup_clusters(pairs)          # n_edges ≪ cap → driver path
+        loop = dup_clusters(pairs, driver_fastpath_max_edges=0)
+        assert fast.schema["id"].dataType == loop.schema["id"].dataType
+        assert fast.schema["cluster"].dataType == \
+            loop.schema["cluster"].dataType
+        assert sorted(map(tuple, fast.collect())) == \
+            sorted(map(tuple, loop.collect()))
+
+
+def test_dup_clusters_fastpath_empty_pairs(spark):
+    """Zero edges through the fast path: empty label frame, correct
+    schema (the distributed loop's empty-input behavior)."""
+    from kaggle_ecommerce_etl_spark.functions.dedup_ml import dup_clusters
+
+    pairs = spark.createDataFrame([], "id1 long, id2 long")
+    out = dup_clusters(pairs)
+    assert out.columns == ["id", "cluster"]
+    assert out.count() == 0
 
 
 def test_jaccard_cross_prefix_matches_naive(spark):
