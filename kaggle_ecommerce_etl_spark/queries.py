@@ -117,12 +117,28 @@ def _davg(col: Column | str, scale: int = 4) -> Column:
 
 def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape: scan+filter+groupBy+8 aggs. One shuffle with
-    map-side partial agg; filter pushes to the parquet scan."""
+    map-side partial agg; filter pushes to the parquet scan.
+
+    r10: the map-side partial agg (8 DECIMAL(23,8) accumulators/row)
+    runs inside the SCAN task, and a single-row-group parquet file is
+    one task — the whole aggregation serialized on one core.
+    ensure_min_partitions after the pushed filter + a 6-column
+    projection parallelizes it (measured sf0.1 min-of-3: 1.56 → 0.98 s,
+    identical rows); no-op at scale where the input arrives as many
+    files."""
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
     li = _t(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    filtered = li.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    ).select(
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax",
+    )
     return (
-        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        ensure_min_partitions(filtered)
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             _dsum("l_quantity").alias("sum_qty"),
@@ -156,23 +172,45 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way join + agg. nation/region are broadcast
-    (tiny dims); customer⋈orders⋈lineitem shuffle on their keys; AQE
-    coalesces post-shuffle."""
+    """TPC-H Q5 shape: 5-way join + agg.
+
+    r10 reorder (guide §2.3/§3.2 — prune the big side BEFORE it is
+    shuffled): the region='ASIA' predicate used to apply AFTER the
+    three fact shuffles, so 100% of lineitem/orders/customer rows were
+    shuffled and ~4/5 then discarded. Now the nation⋈region filter
+    derives the 5-nation ASIA dim first, supplier and customer are
+    semi-reduced through broadcast joins against it, and lineitem is
+    pruned by the broadcast supplier join before its first exchange —
+    the fact shuffles carry ~1/5 of the rows (ASIA's share), identical
+    result (inner joins commute; the filters are implied conjuncts).
+    Measured: sf0.1 a wash (scan-bound), sf1 2.08 → 1.85 s min-of-3;
+    the shuffled-byte reduction is the 100 TB story."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
+    asia_nat = nat.join(
+        F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+        nat.n_regionkey == reg.r_regionkey,
+    ).select("n_nationkey", "n_name")
+    supp_asia = supp.join(
+        F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey")
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    cust_asia = cust.join(
+        F.broadcast(asia_nat.select("n_nationkey")),
+        cust.c_nationkey == F.col("n_nationkey"),
+    ).select("c_custkey", "c_nationkey")
+    # no broadcast HINT on the filtered supplier/customer sides: tiny
+    # here (auto-broadcast fires), but at 100 TB a region's customer
+    # subset outgrows the 8 GB broadcast cap — the planner/AQE picks
+    # the right strategy from actual sizes.
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .filter(cust.c_nationkey == supp.s_nationkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .filter(reg.r_name == "ASIA")
+        li.join(supp_asia, li.l_suppkey == supp_asia.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .groupBy("n_name")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
@@ -362,8 +400,19 @@ def _dec_str_col() -> Column:
 
 
 def q_tolerant_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ops 26-27: noise strip + cast-or-NULL + round over synthesized messy numerics."""
-    li = _t(spark, sf_dir, "lineitem")
+    """Ops 26-27: noise strip + cast-or-NULL + round over synthesized messy numerics.
+
+    r10: the per-row string synth + translate + try_cast is CPU-bound
+    and ran inside the single-row-group scan task; a 4-column
+    projection + ensure_min_partitions parallelizes it (sf0.1 min-of-3
+    1.03 → 0.91 s, identical rows; no-op on multi-file inputs)."""
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
+    li = ensure_min_partitions(
+        _t(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey"
+        )
+    )
     m = F.col("l_linenumber") % 4
     raw = (
         F.when(m == 0, F.concat(F.lit("$"), _dec_str_col()))
