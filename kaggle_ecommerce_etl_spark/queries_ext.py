@@ -130,6 +130,16 @@ def q_exists_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
         F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
     )
+    # r10 (guide §2.3): the join condition + the orders date band IMPLY
+    # l_shipdate > min(o_orderdate) + 60d = 1996-03-01 — a derived
+    # predicate Spark cannot infer here (constraint propagation is
+    # disabled session-wide for optimizer-cost reasons, session.py).
+    # Stating it explicitly pushes it to the lineitem parquet scan and
+    # prunes non-qualifying rows BEFORE the semi-join shuffle; the join
+    # condition still enforces the exact per-row bound.
+    li = li.filter(
+        F.col("l_shipdate") > F.lit("1996-03-01").cast("timestamp")
+    )
     return (
         o.join(li, cond, "left_semi")
         .groupBy("o_orderpriority")

@@ -1325,7 +1325,17 @@ def q_udtf_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 i = j + 1
 
     spark.udtf.register("repeat_runs", RepeatRuns)
-    v = _view(spark, sf_dir, "documents")
+    # r10: the Arrow UDTF evaluates per-row Python over every doc, and
+    # a single-row-group parquet file is ONE task — the whole Python
+    # stage serialized on one worker. A dedicated min-partitions view
+    # parallelizes it (sf0.1 min-of-3: 1.29 → 0.69 s, identical rows);
+    # no-op on multi-file inputs.
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
+    v = "__ext3_documents_minpart"
+    ensure_min_partitions(
+        _t(spark, sf_dir, "documents")
+    ).createOrReplaceTempView(v)
     return spark.sql(
         f"""
         SELECT d.doc_id, r.start_pos, r.token, r.run_len

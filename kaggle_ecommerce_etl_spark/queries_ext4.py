@@ -480,7 +480,12 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale-up drops from 3.6–4.1× (r8 band) to 1.82×. The r7
     docstring's Window(tri) rejection still applies a fortiori: this
     shape has no per-key serialization point at all."""
-    d = _t(spark, sf_dir, "documents")
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
+    # r10: trigram construction + the map-side combine run inside the
+    # single-row-group scan task; parallelizing the scan measured
+    # 1.55 → 1.12 s at sf0.1 (min-of-3, identical rows).
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     # same shingle contract as functions.dedup_ml.shingles_expr(n=3)
     # (short texts yield one covering shingle), but built over a
     # token array MATERIALIZED through its own projection — the
@@ -571,7 +576,13 @@ def q_script_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     invisible_char_scrub convention: a class that never fires at
     test scale needs a fixture that fires it), replicated in the
     oracle."""
-    d = _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
+
+    # r10: five regexp passes per doc in the single-row-group scan
+    # task; parallelizing measured 0.51 → 0.43 s at sf0.1 (min-of-3).
+    d = ensure_min_partitions(
+        _t(spark, sf_dir, "documents").filter(F.length("text") > 0)
+    )
     poisoned = F.when(
         F.col("doc_id") % 7 == 0,
         F.concat(F.col("text"), F.lit(" 漢字文")),
@@ -1189,8 +1200,12 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle's structure, carrying the tag through), so cell counts are
     exact — a heuristic regression moves cells and flips the gate."""
     from kaggle_ecommerce_etl_spark.functions.text import lang_id_expr
+    from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
 
-    d = _t(spark, sf_dir, "documents")
+    # r10: the 4-language stopword-argmax cascade is the expensive part
+    # and ran inside the single-row-group scan task; parallelizing the
+    # scan measured 1.52 → 0.83 s at sf0.1 (min-of-3, identical rows).
+    d = ensure_min_partitions(_t(spark, sf_dir, "documents"))
     return (
         d.select("lang", lang_id_expr(F.col("text")).alias("lang_pred"))
         .groupBy("lang", "lang_pred")
