@@ -675,33 +675,47 @@ def _cross_prefix_candidates(
     admitted pairs are ≪ candidates; it costs nothing here (the
     groupBy replaces the distinct at the same shuffle), so it stays
     on unconditionally. r9 re-measure with the count+last-position
-    bound: see q_jaccard_cross_gate's cost-profile note."""
+    bound: see q_jaccard_cross_gate's cost-profile note.
+
+    SHAPE (r10): both sides are ranked in ONE pass over a side-tagged
+    union — one dfreq aggregate and one window instead of one each per
+    side (the old per-side `_prefix` planned the dfreq subtree and the
+    exploded scans twice) — and the ranked PREFIX index (~(1−t') of
+    the exploded tokens) is eagerly localCheckpoint-ed before the pair
+    join, whose two inputs become filters over that materialization.
+    Without it the self-referencing join recomputes the full rank
+    pipeline (dfreq shuffle + window sort) once per side; with it the
+    pipeline runs once and the join re-reads a bounded ~(1−t')-sized
+    index from executor memory/disk — strictly less work at any scale
+    (same localCheckpoint fault-tolerance caveat as dup_clusters'
+    loop). Measured sf0.1 (t=0.8, min-of-4, same session):
+    3.65 → 2.72 s end-to-end, identical 146,875-row result. The
+    global (df, token) order is unchanged, so prefixes — and therefore
+    the candidate set — are byte-identical."""
     from pyspark.sql.window import Window
 
     t_eff = threshold - _ROUND4_MARGIN
-    dfreq = (
-        b_ex.select("__tok")
-        .unionAll(c_ex.select("__tok"))
-        .groupBy("__tok")
-        .agg(F.count(F.lit(1)).alias("__df"))
+    ex = b_ex.select(
+        F.lit(True).alias("__b"), "__id", "__size", "__tok"
+    ).unionAll(
+        c_ex.select(F.lit(False).alias("__b"), "__id", "__size", "__tok")
     )
-    w = Window.partitionBy("__id").orderBy("__df", "__tok")
-
-    def _prefix(ex: DataFrame) -> DataFrame:
-        return (
-            ex.join(dfreq, "__tok")
-            .withColumn("__rn", F.row_number().over(w))
-            .filter(
-                F.col("__rn")
-                <= F.floor(F.lit(1.0 - t_eff) * F.col("__size")) + F.lit(1)
-            )
+    dfreq = ex.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    w = Window.partitionBy("__b", "__id").orderBy("__df", "__tok")
+    ranked = (
+        ex.join(dfreq, "__tok")
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(
+            F.col("__rn")
+            <= F.floor(F.lit(1.0 - t_eff) * F.col("__size")) + F.lit(1)
         )
-
-    pb = _prefix(b_ex).select(
+        .localCheckpoint(eager=True)
+    )
+    pb = ranked.filter(F.col("__b")).select(
         F.col("__id").alias("in_id"), F.col("__size").alias("__s1"),
         F.col("__rn").alias("__p1"), "__tok",
     )
-    pc = _prefix(c_ex).select(
+    pc = ranked.filter(~F.col("__b")).select(
         F.col("__id").alias("ex_id"), F.col("__size").alias("__s2"),
         F.col("__rn").alias("__p2"), "__tok",
     )
