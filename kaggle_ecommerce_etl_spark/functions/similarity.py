@@ -611,10 +611,15 @@ def lsh_neardup_pairs(
         hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
     ]
     buckets_fn = all_buckets_udf(tables)
+    # r10: checkpoint the bucket index once — the self-join otherwise
+    # plans the bucket UDF (T×b hyperplane projections per vector)
+    # on BOTH sides (same fix as dedup_ml.lsh_candidate_pairs; the
+    # index is n_tables small rows per vector, what a production LSH
+    # build persists anyway).
     bucketed = df.select(
         F.col(id_col).alias("__id"),
         F.posexplode(buckets_fn(F.col(vec_col))).alias("__table", "__bucket"),
-    )
+    ).localCheckpoint(eager=True)
     cand = (
         bucketed.select(F.col("__id").alias("id1"), "__table", "__bucket")
         .join(
@@ -627,10 +632,16 @@ def lsh_neardup_pairs(
     )
     v1 = df.select(F.col(id_col).alias("id1"), F.col(vec_col).alias("__v1"))
     v2 = df.select(F.col(id_col).alias("id2"), F.col(vec_col).alias("__v2"))
+    # asNondeterministic: the threshold filter otherwise pushes below
+    # the projection and the cosine UDF evaluates TWICE per candidate
+    # (guide §4.4 — two ArrowEvalPython nodes in the r10 plan capture).
+    # Values are unchanged: the UDF is pure; the marking only stops the
+    # optimizer duplicating it.
+    cos = cosine_udf().asNondeterministic()
     return (
         cand.join(v1, "id1")
         .join(v2, "id2")
-        .withColumn("sim", F.round(cosine_udf()(F.col("__v1"), F.col("__v2")), 6))
+        .withColumn("sim", F.round(cos(F.col("__v1"), F.col("__v2")), 6))
         .filter(F.col("sim") >= threshold)
         .select("id1", "id2", "sim")
     )
