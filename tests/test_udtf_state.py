@@ -56,7 +56,18 @@ def test_udtf_repeat_runs_arrow_plan(spark):
     )
     assert "ArrowEvalPythonUDTF" in plan
     assert "BatchEvalPython" not in plan  # never the row-pickling path
-    assert "Exchange" not in plan  # generator shape: zero shuffles
+    # generator shape: the LATERAL join never shuffles — no Exchange
+    # ABOVE the UDTF node (toString prints parents first, so "above"
+    # is everything before it). Below it, the r10 single-row-group
+    # scan parallelization is allowed exactly one round-robin
+    # repartition (ensure_min_partitions; a no-op on multi-file
+    # inputs) and nothing else.
+    above = plan[: plan.index("ArrowEvalPythonUDTF")]
+    assert "Exchange" not in above
+    below = plan[plan.index("ArrowEvalPythonUDTF"):]
+    for i, ln in enumerate(below.splitlines()):
+        if "Exchange" in ln:
+            assert "RoundRobinPartitioning" in ln, ln
 
 
 def test_udtf_repeat_runs_matches_expression_count(spark, sf_dir):
