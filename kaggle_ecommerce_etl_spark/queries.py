@@ -172,45 +172,37 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way join + agg.
+    """TPC-H Q5 shape: 5-way join + agg. nation/region are broadcast
+    (tiny dims); customer⋈orders⋈lineitem shuffle on their keys; AQE
+    coalesces post-shuffle.
 
-    r10 reorder (guide §2.3/§3.2 — prune the big side BEFORE it is
-    shuffled): the region='ASIA' predicate used to apply AFTER the
-    three fact shuffles, so 100% of lineitem/orders/customer rows were
-    shuffled and ~4/5 then discarded. Now the nation⋈region filter
-    derives the 5-nation ASIA dim first, supplier and customer are
-    semi-reduced through broadcast joins against it, and lineitem is
-    pruned by the broadcast supplier join before its first exchange —
-    the fact shuffles carry ~1/5 of the rows (ASIA's share), identical
-    result (inner joins commute; the filters are implied conjuncts).
-    Measured: sf0.1 a wash (scan-bound), sf1 2.08 → 1.85 s min-of-3;
-    the shuffled-byte reduction is the 100 TB story."""
+    r10 NOTE — a dim-filter-first reorder (derive the 5-nation ASIA
+    dim, semi-reduce supplier/customer through it, prune lineitem
+    before its first exchange) was implemented, proven row-identical
+    at sf0.1/sf1, and REVERTED on measurement: at every measurable
+    scale orders and customer auto-broadcast, so THIS shape runs as a
+    broadcast-chained pipeline with zero fact shuffles, while the
+    reorder's customer⋈nation inner join INFLATES Catalyst's size
+    estimate past the broadcast threshold and forces a SortMergeJoin
+    (sf1: 2.5–3.1 s this shape vs 4.3–6.0 s reordered, two sessions; a
+    left-semi variant removed the SMJ but still measured slower). The
+    reorder's real regime — fact sides too big to broadcast — is not
+    reachable on this harness; revisit only with CBO stats or a
+    cluster measurement. See OPTIMIZATION_r10.md."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
-    asia_nat = nat.join(
-        F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
-        nat.n_regionkey == reg.r_regionkey,
-    ).select("n_nationkey", "n_name")
-    supp_asia = supp.join(
-        F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey")
-    ).select("s_suppkey", "s_nationkey", "n_name")
-    cust_asia = cust.join(
-        F.broadcast(asia_nat.select("n_nationkey")),
-        cust.c_nationkey == F.col("n_nationkey"),
-    ).select("c_custkey", "c_nationkey")
-    # no broadcast HINT on the filtered supplier/customer sides: tiny
-    # here (auto-broadcast fires), but at 100 TB a region's customer
-    # subset outgrows the 8 GB broadcast cap — the planner/AQE picks
-    # the right strategy from actual sizes.
     return (
-        li.join(supp_asia, li.l_suppkey == supp_asia.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
-        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .filter(cust.c_nationkey == supp.s_nationkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .filter(reg.r_name == "ASIA")
         .groupBy("n_name")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(

@@ -163,19 +163,14 @@ ORDER BY o_orderpriority
 
 def q_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: 5-way join with a nation-pair disjunction and a
-    per-year rollup.
+    per-year rollup. Both nation joins broadcast (25 rows); only the
+    lineitem⋈orders and ⋈customer shuffles remain.
 
-    r10 reorder (guide §2.3/§3.2, same move as q_revenue_by_nation):
-    the two-nation predicate used to apply AFTER the fact shuffles —
-    100% of lineitem/orders/customer rows shuffled, ~23/25 discarded.
-    Now each nation dim is pre-filtered to the two named nations,
-    supplier/customer semi-reduce through those broadcasts, and
-    lineitem is pruned by the supplier join before its first exchange;
-    the disjunction (which of the two directions) stays as the final
-    filter. Identical 14-row result (inner joins commute; the
-    pre-filters are implied by pair_ok); sf0.1 a wash (scan-bound), the
-    ~12× fact-shuffle reduction is the scale story. No broadcast hint
-    on the filtered supplier/customer: the planner sizes them."""
+    r10 NOTE: a two-nation dim-prefilter reorder was implemented,
+    proven row-identical, and REVERTED for the same measured reason as
+    q_revenue_by_nation — the customer⋈nation inner join inflates the
+    size estimate past the broadcast threshold and costs more than the
+    late filter at every measurable scale. See OPTIMIZATION_r10.md."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
@@ -183,23 +178,19 @@ def q_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nat = _t(spark, sf_dir, "nation")
     n1 = nat.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
-    ).filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+    )
     n2 = nat.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
-    ).filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
+    )
     pair_ok = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
-    supp_f = supp.join(
-        F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key")
-    ).select("s_suppkey", "supp_nation")
-    cust_f = cust.join(
-        F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")
-    ).select("c_custkey", "cust_nation")
     return (
-        li.join(supp_f, li.l_suppkey == supp_f.s_suppkey)
-        .join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust_f, orders.o_custkey == cust_f.c_custkey)
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
         .filter(pair_ok)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
