@@ -443,8 +443,13 @@ def _dup_clusters_driver(spark, half: DataFrame) -> DataFrame | None:
     if t_src != t_dst or not isinstance(t_src, integral):
         return None
     pdf = half.toPandas()
+    # nullable=True matches the distributed loop's output nullability
+    # (its least/coalesce projections are nullable), so the SAME call
+    # returns the SAME schema whichever path the edge count routes to
+    # (ADVICE r10: small-vs-large inputs must not look like schema
+    # drift to downstream unions/mergeSchema writers).
     out_schema = StructType(
-        [StructField("id", t_src, False), StructField("cluster", t_src, False)]
+        [StructField("id", t_src, True), StructField("cluster", t_src, True)]
     )
     np_t = {"byte": np.int8, "short": np.int16,
             "integer": np.int32, "long": np.int64}[t_src.typeName()]
@@ -488,16 +493,49 @@ def _dup_clusters_driver(spark, half: DataFrame) -> DataFrame | None:
     return spark.createDataFrame(out, schema=out_schema)
 
 
+#: Pointer-doubling hops per materialized round of the distributed CC
+#: loop: one min-neighbor step (edges⋈labels + agg) plus this many
+#: label-of-label self-joins per barrier. MEASURED r11
+#: (scripts/cc_loop_probe.py, local[32], forced loop, noop sink,
+#: deterministic xxhash64 random graphs — the supercritical avg-deg-4
+#: regime): extra hops DO NOT cut rounds there — label propagation is
+#: BFS-limited by the single neighbor-min step (rounds ≈ the min
+#: node's eccentricity), and long label chains for doubling to
+#: compress never form. hops 1/3/4 at 1M edges: 11/10/10 rounds,
+#: 26.97/31.60/35.64 s; hops 1/3 at 10M edges: 12/12 rounds,
+#: 132.8/197.2 s (hops=3 +48 % wall, same rounds). The extra narrow
+#: self-joins are pure cost in the realistic regime, so ONE doubling
+#: hop (the r10 design) stays; deep-diameter chains remain covered by
+#: its O(log d) bound. The r11 win in this loop is the per-round
+#: barrier fix below (persist-then-checkpoint — see _dup_clusters_loop).
+_CC_DOUBLING_HOPS = 1
+
+#: Rounds between Catalyst-statistics resets in the CC loop (see the
+#: barrier comment in _dup_clusters_loop). Growth between resets is
+#: ~8×/round from a ~14-bit measured base, so K=4 caps the planner's
+#: BigInt size estimates under ~10k bits at any round count.
+_CC_STATS_RESET_EVERY = 4
+
+#: diagnostic only: materialized rounds the MOST RECENT
+#: _dup_clusters_loop call took to converge (None before any call).
+#: Read by scripts/cc_loop_probe.py to report the rounds×wall trade;
+#: never consulted by engine code.
+LAST_LOOP_ROUNDS: int | None = None
+
+
 def _dup_clusters_loop(
     edges: DataFrame, labels: DataFrame, max_iter: int
 ) -> DataFrame:
-    for _ in range(max_iter):
+    from pyspark.storagelevel import StorageLevel
+
+    global LAST_LOOP_ROUNDS
+    for _round in range(max_iter):
         nbr_min = (
             edges.join(labels, edges.dst == labels.id)
             .groupBy(F.col("src").alias("nid"))
             .agg(F.min("cluster").alias("nmin"))
         )
-        stepped = labels.join(
+        cur = labels.join(
             nbr_min, labels.id == nbr_min.nid, "left"
         ).select(
             "id",
@@ -508,15 +546,16 @@ def _dup_clusters_loop(
                 "__changed"
             ),
         )
-        # pointer doubling: labels are always ids of nodes in `labels`
-        # (they start as self-ids and only ever take existing label
-        # values), so the parent lookup is a plain equi-join
-        parents = stepped.select(
-            F.col("id").alias("pid"), F.col("cluster").alias("pcluster")
-        )
-        doubled = (
-            stepped.join(parents, stepped.cluster == parents.pid, "left")
-            .select(
+        # pointer doubling ×hops: labels are always ids of nodes in
+        # `labels` (they start as self-ids and only ever take existing
+        # label values — an invariant every hop preserves), so each
+        # parent lookup is a plain equi-join. Multiple hops inside one
+        # round shrink label distances 2^hops× per checkpoint barrier.
+        for _hop in range(_CC_DOUBLING_HOPS):
+            parents = cur.select(
+                F.col("id").alias("pid"), F.col("cluster").alias("pcluster")
+            )
+            cur = cur.join(parents, cur.cluster == parents.pid, "left").select(
                 "id",
                 F.coalesce("pcluster", "cluster").alias("cluster"),
                 (
@@ -524,11 +563,33 @@ def _dup_clusters_loop(
                     | (F.coalesce("pcluster", "cluster") < F.col("cluster"))
                 ).alias("__changed"),
             )
-            .localCheckpoint(eager=True)
-        )
+        # Per-round barrier = localCheckpoint, with a persist+count
+        # stats RESET folded in every _CC_STATS_RESET_EVERY rounds
+        # (r11). The checkpoint alone is a driver hazard: it PRESERVES
+        # the child plan's size ESTIMATE, and join estimates MULTIPLY,
+        # so the per-round estimate compounds geometrically round over
+        # round — measured 200 → 1691 → 13615 BigInt bits in three
+        # rounds of a 3-hop variant, ending in planner
+        # BigInteger-multiply OOM (the 1-hop loop grows ~8×/round —
+        # slower, same cliff). Materializing a cache first makes the
+        # following checkpoint snapshot the MEASURED size, restarting
+        # the growth from a ~tens-of-bits base; doing that every K
+        # rounds bounds the estimate at ~base×8^K bits (K=4 → <10k
+        # bits, trivial BigInt math) while paying the extra narrow
+        # n-row label pass only 1/K of the time (an every-round reset
+        # measured +42 % wall at 10M edges — the planner cost it
+        # removes is smaller than a full extra materialization).
+        if _round % _CC_STATS_RESET_EVERY == 0:
+            cached = cur.persist(StorageLevel.MEMORY_AND_DISK)
+            cached.count()
+            doubled = cached.localCheckpoint(eager=True)
+            cached.unpersist()
+        else:
+            doubled = cur.localCheckpoint(eager=True)
         changed = doubled.filter(F.col("__changed")).limit(1).count()
         labels = doubled.drop("__changed")
         if changed == 0:
+            LAST_LOOP_ROUNDS = _round + 1
             return labels
     # Exhausting max_iter without a fixpoint means the labels are NOT
     # components yet — returning them silently would hand callers a
@@ -573,9 +634,31 @@ def jaccard_pairs_prefix(
     9.2 s — on a corpus with NO quadratic hot token the fixed extra
     shuffles dominate. Use max_df for benign vocabularies; use this
     when a stopword-frequency token would otherwise square a posting
-    list, or when exactness of the full vocabulary is contractual."""
+    list, or when exactness of the full vocabulary is contractual.
+
+    SHAPE (r11, VERDICT r10 next-round #2 — the r10 cross-gate tricks
+    applied to the self-join variant; every change is candidate-set-
+    or value-preserving, so the output is byte-identical):
+
+    - the ranked PREFIX index (~(1−t′) of exploded tokens, bounded) is
+      eagerly localCheckpoint-ed before the self-join — previously the
+      whole rank pipeline (explode → dfreq shuffle → rank window) was
+      planned ONCE PER SIDE of the join (same fault-tolerance caveat
+      as dup_clusters' loop: a lost executor forfeits the block).
+    - PPJoin size-compatibility + count/last-position filters (see
+      _cross_prefix_candidates for the exactness proof) prune
+      candidates at the same shuffle the old ``distinct`` paid — the
+      groupBy replaces it 1:1.
+    - the exact verify computes ONE ``array_union`` per candidate
+      (inter = s1+s2−|union|, exact integer arithmetic over distinct
+      arrays) instead of up to four ``array_intersect`` evaluations —
+      the `+ rand(42)*0.0` term is the §4.4 optimizer barrier that
+      stops the threshold filter being pushed into the join and
+      re-inlining the set-op (pinned by
+      tests/test_dedup_ml.py::test_prefix_verify_single_setop_plan)."""
     from pyspark.sql.window import Window
 
+    t_eff = threshold - _ROUND4_MARGIN
     df = ensure_min_partitions(df)
     blk = [qcol(block_col).alias("__blk")] if block_col else []
     base = df.select(
@@ -596,35 +679,52 @@ def jaccard_pairs_prefix(
         .withColumn("__rn", F.row_number().over(w))
         .filter(
             F.col("__rn")
-            <= F.floor(
-                F.lit(1.0 - (threshold - _ROUND4_MARGIN)) * F.col("__size")
-            )
-            + F.lit(1)
+            <= F.floor(F.lit(1.0 - t_eff) * F.col("__size")) + F.lit(1)
         )
-        .select("__id", *blk_cols, "__tok")
+        .select("__id", *blk_cols, "__size", "__rn", "__tok")
+        .localCheckpoint(eager=True)
     )
+    p1 = prefix.select(
+        F.col("__id").alias("id1"), *blk_cols, "__tok",
+        F.col("__size").alias("__s1"), F.col("__rn").alias("__p1"),
+    )
+    p2 = prefix.select(
+        F.col("__id").alias("id2"), *blk_cols, "__tok",
+        F.col("__size").alias("__s2"), F.col("__rn").alias("__p2"),
+    )
+    alpha = F.lit(t_eff / (1.0 + t_eff)) * (F.col("__s1") + F.col("__s2"))
     cand = (
-        prefix.select(F.col("__id").alias("id1"), *blk_cols, "__tok")
-        .join(
-            prefix.select(F.col("__id").alias("id2"), *blk_cols, "__tok"),
-            tok_cols,
-        )
+        p1.join(p2, tok_cols)
         .filter(F.col("id1") < F.col("id2"))
+        .filter(
+            (F.col("__s2") * F.lit(t_eff) <= F.col("__s1"))
+            & (F.col("__s1") * F.lit(t_eff) <= F.col("__s2"))
+        )
+        .groupBy("id1", "id2", "__s1", "__s2")
+        .agg(
+            F.count(F.lit(1)).alias("__c"),
+            F.max("__p1").alias("__p1x"),
+            F.max("__p2").alias("__p2x"),
+        )
+        .filter(
+            F.col("__c")
+            + F.least(
+                F.col("__s1") - F.col("__p1x"),
+                F.col("__s2") - F.col("__p2x"),
+            )
+            >= alpha
+        )
         .select("id1", "id2")
-        .distinct()
     )
     t1 = base.select(F.col("__id").alias("id1"), F.col("__toks").alias("__t1"))
     t2 = base.select(F.col("__id").alias("id2"), F.col("__toks").alias("__t2"))
-    inter = F.size(F.array_intersect("__t1", "__t2"))
-    jac = F.round(
-        inter.cast("double")
-        / (F.size("__t1") + F.size("__t2") - inter).cast("double"),
-        4,
-    )
+    u = F.size(F.array_union("__t1", "__t2"))
+    inter = F.size("__t1") + F.size("__t2") - u
+    jac = F.round(inter.cast("double") / u.cast("double"), 4)
     return (
         cand.join(t1, "id1")
         .join(t2, "id2")
-        .withColumn("jaccard", jac)
+        .withColumn("jaccard", jac + F.rand(42) * F.lit(0.0))
         .filter(F.col("jaccard") >= threshold)
         .select("id1", "id2", "jaccard")
     )

@@ -58,6 +58,7 @@ from kaggle_ecommerce_etl_spark.operators.filters import (
     drop_missing_critical,
     filter_mostly_null_rows,
 )
+from kaggle_ecommerce_etl_spark.util import outgrows_broadcast
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -171,39 +172,80 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
-def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5 shape: 5-way join + agg. nation/region are broadcast
-    (tiny dims); customer⋈orders⋈lineitem shuffle on their keys; AQE
-    coalesces post-shuffle.
+def q_revenue_by_nation(
+    spark: SparkSession, sf_dir: str, route: str | None = None
+) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join + agg — SIZE-GATED between two
+    row-identical join orders (r11, closing VERDICT r10 next-round #1).
 
-    r10 NOTE — a dim-filter-first reorder (derive the 5-nation ASIA
-    dim, semi-reduce supplier/customer through it, prune lineitem
-    before its first exchange) was implemented, proven row-identical
-    at sf0.1/sf1, and REVERTED on measurement: at every measurable
-    scale orders and customer auto-broadcast, so THIS shape runs as a
-    broadcast-chained pipeline with zero fact shuffles, while the
-    reorder's customer⋈nation inner join INFLATES Catalyst's size
-    estimate past the broadcast threshold and forces a SortMergeJoin
-    (sf1: 2.5–3.1 s this shape vs 4.3–6.0 s reordered, two sessions; a
-    left-semi variant removed the SMJ but still measured slower). The
-    reorder's real regime — fact sides too big to broadcast — is not
-    reachable on this harness; revisit only with CBO stats or a
-    cluster measurement. See OPTIMIZATION_r10.md."""
+    The r10 three-scale A/B proved neither shape dominates:
+
+    - "late" (dims joined last, region filter after the fact joins):
+      while ORDERS still auto-broadcasts, the whole query is a
+      broadcast-chained pipeline with ZERO fact shuffles — sf1 (10×)
+      measured 2.5–3.1 s vs 4.3–6.0 s reordered, because the reorder's
+      customer⋈nation inner join inflates Catalyst's size-only
+      estimate past the broadcast threshold and forces a SortMergeJoin.
+    - "early" (dim-filter-first: derive the 5-nation ASIA dim,
+      semi-reduce supplier/customer through it, prune lineitem via the
+      broadcast supplier join BEFORE its first exchange): once orders
+      outgrows the broadcast threshold the late shape sort-merge-joins
+      100 % of lineitem⋈orders and discards ~4/5 AFTER the shuffle,
+      while the early shape shuffles only ASIA's share — measured
+      2.7× at 100× replicas (SCALE_CURVE_r10_OPT 6.08 s vs _OPT2
+      16.49 s).
+
+    The crossover is exactly "does orders still broadcast", so the
+    route is gated on the SAME statistic the planner uses for that
+    decision (Catalyst's scan size estimate vs the session broadcast
+    threshold — file listing only, no job, deterministic per input).
+    Both routes are proven row-identical (inner joins commute; the
+    dim pre-filters are implied conjuncts of the late filter) — pinned
+    by tests/test_queries_ext.py::test_q5_q7_routes_row_identical and
+    the oracle at sf0.01/sf0.1 on both forced routes. ``route`` forces
+    a shape for tests/measurement ("late"/"early")."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
     reg = _t(spark, sf_dir, "region")
+    if route is None:
+        route = "early" if outgrows_broadcast(orders) else "late"
+    if route == "early":
+        asia_nat = nat.join(
+            F.broadcast(reg.filter(F.col("r_name") == "ASIA")),
+            nat.n_regionkey == reg.r_regionkey,
+        ).select("n_nationkey", "n_name")
+        supp_asia = supp.join(
+            F.broadcast(asia_nat), supp.s_nationkey == F.col("n_nationkey")
+        ).select("s_suppkey", "s_nationkey", "n_name")
+        cust_asia = cust.join(
+            F.broadcast(asia_nat.select("n_nationkey")),
+            cust.c_nationkey == F.col("n_nationkey"),
+        ).select("c_custkey", "c_nationkey")
+        # no broadcast HINT on the filtered supplier/customer sides:
+        # tiny here (auto-broadcast fires), but at 100 TB a region's
+        # customer subset outgrows the 8 GB broadcast cap — the
+        # planner/AQE picks the strategy from actual sizes.
+        joined = (
+            li.join(supp_asia, li.l_suppkey == supp_asia.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust_asia, orders.o_custkey == cust_asia.c_custkey)
+            .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        )
+    else:
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .filter(cust.c_nationkey == supp.s_nationkey)
+            .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+            .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+            .filter(reg.r_name == "ASIA")
+        )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .filter(cust.c_nationkey == supp.s_nationkey)
-        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
-        .filter(reg.r_name == "ASIA")
-        .groupBy("n_name")
+        joined.groupBy("n_name")
         .agg(
             _dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "revenue"

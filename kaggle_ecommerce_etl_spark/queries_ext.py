@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kaggle_ecommerce_etl_spark.functions.text import WS_SPLIT
+from kaggle_ecommerce_etl_spark.util import outgrows_broadcast
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -161,37 +162,71 @@ ORDER BY o_orderpriority
 """
 
 
-def q_nation_volume_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_nation_volume_pairs(
+    spark: SparkSession, sf_dir: str, route: str | None = None
+) -> DataFrame:
     """TPC-H Q7 shape: 5-way join with a nation-pair disjunction and a
-    per-year rollup. Both nation joins broadcast (25 rows); only the
-    lineitem⋈orders and ⋈customer shuffles remain.
+    per-year rollup — SIZE-GATED between two row-identical join orders
+    (r11, closing VERDICT r10 next-round #1; same gate and rationale
+    as q_revenue_by_nation):
 
-    r10 NOTE: a two-nation dim-prefilter reorder was implemented,
-    proven row-identical, and REVERTED for the same measured reason as
-    q_revenue_by_nation — the customer⋈nation inner join inflates the
-    size estimate past the broadcast threshold and costs more than the
-    late filter at every measurable scale. See OPTIMIZATION_r10.md."""
+    - "late": dims joined last; while ORDERS still auto-broadcasts the
+      plan is broadcast-chained with zero fact shuffles (the measured
+      sf1 winner).
+    - "early" (dim-filter-first): each nation dim pre-filtered to the
+      two named nations, supplier/customer semi-reduced through those
+      broadcasts, lineitem pruned by the supplier join before its
+      first exchange — ~12× fewer fact-shuffle rows once orders
+      outgrows the broadcast threshold (the measured 100× winner;
+      SCALE_CURVE_r10_OPT vs _OPT2).
+
+    The disjunction (which of the two directions) stays as the final
+    filter in both shapes. Row-identical: inner joins commute and the
+    per-dim isin pre-filters are implied by ``pair_ok`` — pinned by
+    tests/test_queries_ext.py::test_q5_q7_routes_row_identical and the
+    oracle on both forced routes. ``route`` forces a shape."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     cust = _t(spark, sf_dir, "customer")
     supp = _t(spark, sf_dir, "supplier")
     nat = _t(spark, sf_dir, "nation")
+    if route is None:
+        route = "early" if outgrows_broadcast(orders) else "late"
+    early = route == "early"
     n1 = nat.select(
         F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
     )
     n2 = nat.select(
         F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
     )
+    if early:
+        n1 = n1.filter(F.col("supp_nation").isin("NATION_1", "NATION_2"))
+        n2 = n2.filter(F.col("cust_nation").isin("NATION_1", "NATION_2"))
     pair_ok = (
         (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
     ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    if early:
+        supp_f = supp.join(
+            F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key")
+        ).select("s_suppkey", "supp_nation")
+        cust_f = cust.join(
+            F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key")
+        ).select("c_custkey", "cust_nation")
+        joined = (
+            li.join(supp_f, li.l_suppkey == supp_f.s_suppkey)
+            .join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust_f, orders.o_custkey == cust_f.c_custkey)
+        )
+    else:
+        joined = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
+        )
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .join(supp, li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("sn_key"))
-        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("cn_key"))
-        .filter(pair_ok)
+        joined.filter(pair_ok)
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )

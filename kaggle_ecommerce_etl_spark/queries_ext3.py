@@ -1332,7 +1332,15 @@ def q_udtf_repeat_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # no-op on multi-file inputs.
     from kaggle_ecommerce_etl_spark.util import ensure_min_partitions
 
-    v = "__ext3_documents_minpart"
+    # view name derived from sf_dir (ADVICE r10): a FIXED name could
+    # race between createOrReplaceTempView and the spark.sql analysis
+    # when two constructions with different sf_dirs interleave in one
+    # session, silently binding the query to the wrong dataset
+    import hashlib
+
+    v = "__ext3_documents_minpart_" + hashlib.md5(
+        sf_dir.encode()
+    ).hexdigest()[:10]
     ensure_min_partitions(
         _t(spark, sf_dir, "documents")
     ).createOrReplaceTempView(v)

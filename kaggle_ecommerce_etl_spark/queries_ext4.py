@@ -802,13 +802,26 @@ def q_streaming_drift_run(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("c"), F.lit(0)).alias("c"),
         F.coalesce(F.col("r"), F.lit(0)).alias("r"),
     )
-    totals = merged.groupBy("batch_id").agg(
-        F.sum("c").cast("decimal(18,0)").alias("ct"),
-        F.sum("r").cast("decimal(18,0)").alias("rt"),
+    # Per-batch totals as WINDOW sums over the same frame (r11, VERDICT
+    # r10 next-round #4): the previous shape aggregated `merged` into a
+    # `totals` frame and broadcast-joined it back, which planned the
+    # whole merged subtree (slice-ids × ref cross join + full-outer
+    # join) TWICE — once under the aggregate, once under the join. The
+    # window computes the identical ct/rt (same exact long-sum → decimal
+    # cast, constant per batch) in ONE pass, and the following
+    # groupBy("batch_id") reuses the window's hash partitioning, so the
+    # plan loses both the duplicate subtree and the join (plan capture:
+    # plans/r11/streaming_drift_run_{before,after}.txt).
+    from pyspark.sql.window import Window
+
+    wb = Window.partitionBy("batch_id")
+    scored = merged.select(
+        "batch_id", "c", "r",
+        F.sum("c").over(wb).cast("decimal(18,0)").alias("ct"),
+        F.sum("r").over(wb).cast("decimal(18,0)").alias("rt"),
     )
     return (
-        merged.join(F.broadcast(totals), "batch_id")
-        .groupBy("batch_id")
+        scored.groupBy("batch_id")
         .agg(
             F.max("ct").cast("long").alias("n_tokens"),
             F.sum(

@@ -2,8 +2,66 @@
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+
+def plan_size_bytes(df) -> int:
+    """Catalyst's size estimate (bytes) for ``df``'s optimized plan —
+    the SAME statistic the planner compares against
+    ``spark.sql.autoBroadcastJoinThreshold`` when it decides whether a
+    join side broadcasts. For a bare parquet scan this is total file
+    bytes × ``spark.sql.sources.fileCompressionFactor`` (file listing
+    only — no Spark job, and the listing is cached per session).
+    Returns -1 where the probe fails (non-file source, analysis-only
+    session), which callers must treat as "unknown"."""
+    try:
+        sz = df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # py4j converts BigInts that fit a long to int; stringify the
+        # rest (a >8 EiB estimate arrives as a JavaObject)
+        return sz if isinstance(sz, int) else int(str(sz))
+    except Exception:  # noqa: BLE001 — best-effort planner probe
+        return -1
+
+
+_SIZE_SUFFIX = {
+    "": 1, "b": 1,
+    "k": 1024, "kb": 1024,
+    "m": 1024**2, "mb": 1024**2,
+    "g": 1024**3, "gb": 1024**3,
+    "t": 1024**4, "tb": 1024**4,
+}
+
+
+def broadcast_threshold_bytes(spark) -> int:
+    """``spark.sql.autoBroadcastJoinThreshold`` in bytes (suffix forms
+    like ``10MB`` accepted, matching Spark's own parser for this conf);
+    ≤ 0 means auto-broadcast is disabled."""
+    raw = str(
+        spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    ).strip().lower()
+    m = re.fullmatch(r"(-?\d+)\s*([a-z]*)", raw)
+    if not m or m.group(2) not in _SIZE_SUFFIX:
+        return 10 * 1024**2
+    return int(m.group(1)) * _SIZE_SUFFIX[m.group(2)]
+
+
+def outgrows_broadcast(df, margin: float = 1.0) -> bool:
+    """True when Catalyst's size estimate for ``df`` exceeds
+    ``margin`` × the session broadcast threshold — i.e. the planner
+    will NOT broadcast this side. Used to route between join shapes
+    whose crossover is exactly "does this side still broadcast"
+    (TPC-H Q5/Q7 dim-filter-first routing, OPTIMIZATION_r11.md). When
+    auto-broadcast is disabled every join shuffles, so the answer is
+    True; when the size probe fails the answer is False (the
+    small-scale shape — the conservative default)."""
+    thr = broadcast_threshold_bytes(df.sparkSession)
+    if thr <= 0:
+        return True
+    sz = plan_size_bytes(df)
+    return sz > thr * margin if sz >= 0 else False
 
 
 def qcol(name: str) -> Column:

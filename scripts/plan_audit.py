@@ -92,6 +92,77 @@ ARROW_OK_PREFIXES = (
 )
 
 
+#: build-side classifications the BNLJ boundedness check accepts as
+#: mechanically scale-safe (VERDICT r10 next-round #7). Anything else
+#: ("keyed_agg" — bounded only by domain knowledge — or "opaque")
+#: additionally requires a BNLJ_OK entry naming the reason.
+BNLJ_BOUNDED = {"scalar_agg", "local_table", "tiny_dim_scan"}
+
+
+def _walk(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk(ch.apply(i))
+
+
+def _classify_build_side(node) -> str:
+    """Mechanical boundedness class of one BNLJ build subtree:
+    scalar_agg (an aggregate with NO grouping keys — 1 row at any
+    scale), local_table (driver-literal relation), tiny_dim_scan (the
+    constant dims: nation/region/month lookup), keyed_agg (grouped
+    aggregate — bounded only if the key domain is), else opaque."""
+    first_agg = None
+    for n in _walk(node):
+        nm = n.nodeName()
+        if "Aggregate" in nm and first_agg is None:
+            try:
+                first_agg = n.groupingExpressions().size()
+            except Exception:  # noqa: BLE001 — non-standard agg node
+                first_agg = -1
+    if first_agg == 0:
+        return "scalar_agg"
+    leaves = [n for n in _walk(node) if n.children().size() == 0]
+    leaf_names = {n.nodeName() for n in leaves}
+    if leaf_names and all("LocalTableScan" in n or "EmptyRelation" in n
+                          for n in leaf_names):
+        return "local_table"
+    if leaves and all(
+        any(t in n.toString().splitlines()[0]
+            for t in ("nation.parquet", "region.parquet"))
+        for n in leaves if "Scan" in n.nodeName()
+    ) and any("Scan" in n.nodeName() for n in leaves):
+        return "tiny_dim_scan"
+    if first_agg and first_agg > 0:
+        return "keyed_agg"
+    return "opaque"
+
+
+def _bnlj_build_classes(df) -> list[str]:
+    """Classify every BroadcastNestedLoopJoin build side in the
+    (adaptively planned) physical tree."""
+    plan = df._jdf.queryExecution().executedPlan()
+    roots = [plan]
+    out = []
+    while roots:
+        node = roots.pop()
+        nm = node.nodeName()
+        if "AdaptiveSparkPlan" in nm:
+            roots.append(node.initialPlan())
+            continue
+        for n in _walk(node):
+            nn = n.nodeName()
+            if "AdaptiveSparkPlan" in nn and n is not node:
+                roots.append(n.initialPlan())
+                continue
+            if "BroadcastNestedLoopJoin" in nn:
+                side = str(n.buildSide())
+                ch = n.children()
+                build = ch.apply(1 if "Right" in side else 0)
+                out.append(_classify_build_side(build))
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     from kaggle_ecommerce_etl_spark.queries import REGISTRY
@@ -102,12 +173,8 @@ def main() -> int:
     bad = []
     for name, (fn, _oracle) in REGISTRY.items():
         try:
-            plan = (
-                fn(spark, sf_dir)
-                ._jdf.queryExecution()
-                .executedPlan()
-                .toString()
-            )
+            df = fn(spark, sf_dir)
+            plan = df._jdf.queryExecution().executedPlan().toString()
         except Exception as e:  # noqa: BLE001 — audit must cover the rest
             report[name] = {"error": str(e).splitlines()[0][:200]}
             bad.append(name)
@@ -124,8 +191,21 @@ def main() -> int:
         flags = []
         if entry["cartesian"]:
             flags.append("CARTESIAN")
-        if entry["bnlj"] and name not in BNLJ_OK:
-            flags.append("BNLJ")
+        if entry["bnlj"]:
+            try:
+                entry["bnlj_build"] = _bnlj_build_classes(df)
+            except Exception as e:  # noqa: BLE001 — classifier best-effort
+                entry["bnlj_build"] = [f"probe_error:{e}"[:120]]
+            if name not in BNLJ_OK:
+                flags.append("BNLJ")
+            # a whitelisted site whose build side is no longer even a
+            # keyed aggregate / bounded relation has DRIFTED from the
+            # documented justification — flag it despite the whitelist
+            if any(
+                c not in BNLJ_BOUNDED and c != "keyed_agg"
+                for c in entry["bnlj_build"]
+            ):
+                flags.append("BNLJ_UNBOUNDED_BUILD")
         if entry["py_row_udf"]:
             flags.append("PY_ROW_UDF")
         if entry["arrow_python"] and not name.startswith(ARROW_OK_PREFIXES):

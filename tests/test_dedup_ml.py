@@ -171,6 +171,8 @@ def test_dup_clusters_long_path_converges_logarithmically(spark):
     assert set(labels) == set(range(61))
     assert set(labels.values()) == {0}
 
+    # one round reaches at most 2^(1 + _CC_DOUBLING_HOPS) = 4 steps
+    # down the path — far short of 60 — so a 2-round cap must raise
     with pytest.raises(ValueError, match="did not converge"):
         dup_clusters(pairs, max_iter=2, driver_fastpath_max_edges=0)
 

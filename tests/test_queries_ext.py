@@ -214,3 +214,87 @@ def test_jaccard_cross_gate_matches_naive(spark, sf_dir):
             if j >= 0.8:
                 want[(bi, ci)] = j
     assert got == want
+
+
+def test_q5_q7_routes_row_identical(spark, sf_dir):
+    """The size-gated join shapes (r11) must be value-equivalent: the
+    dim-filter-first "early" route and the broadcast-chained "late"
+    route are the same query (inner joins commute; the dim pre-filters
+    are implied conjuncts), so forcing either route must yield the
+    identical row set. This is what licenses the gate to switch shapes
+    on scan-size statistics without touching the oracle contract."""
+    from kaggle_ecommerce_etl_spark.queries import q_revenue_by_nation
+
+    for fn in (q_revenue_by_nation, qx.q_nation_volume_pairs):
+        late = sorted(map(tuple, fn(spark, sf_dir, route="late").collect()))
+        early = sorted(map(tuple, fn(spark, sf_dir, route="early").collect()))
+        assert late == early, fn.__name__
+        assert (
+            fn(spark, sf_dir, route="late").schema
+            == fn(spark, sf_dir, route="early").schema
+        ), fn.__name__
+
+
+def test_q5_q7_route_gate_flips_on_threshold(spark, sf_dir):
+    """The default route is picked by outgrows_broadcast(orders): with
+    the session broadcast threshold floored to 1 byte every scan
+    outgrows it and the gate must pick the dim-filter-first shape; at
+    the session default (64 MB ≫ any test SF) it must pick the
+    broadcast-chained shape. Plans are compared via the physical tree:
+    the early shape contains a join on s_suppkey BEFORE o_orderkey."""
+    from kaggle_ecommerce_etl_spark.queries import q_revenue_by_nation
+    from kaggle_ecommerce_etl_spark.util import outgrows_broadcast
+
+    import re
+
+    def norm(df) -> str:
+        # strip per-construction expression ids (#123 / #123L)
+        return re.sub(
+            r"#\d+", "#", df._jdf.queryExecution().logical().toString()
+        )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    key = "spark.sql.autoBroadcastJoinThreshold"
+    old = spark.conf.get(key)
+    try:
+        assert not outgrows_broadcast(orders)
+        assert norm(q_revenue_by_nation(spark, sf_dir)) == norm(
+            q_revenue_by_nation(spark, sf_dir, route="late")
+        )
+        spark.conf.set(key, "1")
+        assert outgrows_broadcast(orders)
+        assert norm(q_revenue_by_nation(spark, sf_dir)) == norm(
+            q_revenue_by_nation(spark, sf_dir, route="early")
+        )
+        assert norm(
+            q_revenue_by_nation(spark, sf_dir, route="late")
+        ) != norm(q_revenue_by_nation(spark, sf_dir, route="early"))
+    finally:
+        spark.conf.set(key, old)
+
+
+def test_single_evaluation_plan_pins(spark, sf_dir):
+    """§4.4 barrier pins (VERDICT r10 next-round #6): the optimizer
+    must evaluate the expensive per-candidate work ONCE. Each pinned
+    count is the single-evaluation plan's; without the barrier the
+    threshold filter is pushed into the join and the expression is
+    re-inlined (measured: array_union sites 2 → 4, ArrowEvalPython
+    1 → 2 at this SF) — so a Spark upgrade that constant-folds
+    `rand(42)*0.0`, or a refactor dropping `asNondeterministic`,
+    turns this test red before it silently doubles the stage."""
+    from kaggle_ecommerce_etl_spark.queries import REGISTRY
+
+    def counts(name):
+        fn, _ = REGISTRY[name]
+        p = fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        return (
+            p.count("array_intersect"),
+            p.count("array_union"),
+            p.count("ArrowEvalPython"),
+        )
+
+    assert counts("jaccard_cross_gate") == (0, 2, 0)
+    assert counts("jaccard_pairs_prefix") == (0, 2, 0)
+    inter, union, arrow = counts("embedding_neardup_lsh")
+    assert (inter, union) == (0, 0)
+    assert arrow == 1  # the cosine pandas UDF, evaluated once
